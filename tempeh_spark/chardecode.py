@@ -1,0 +1,199 @@
+"""Byte-stream → code-unit decoding, faithful to the reference lexer.
+
+The reference reads documents as a stream of *code units* (not code points in
+the UTF-16 case) with several non-standard behaviors that are part of the
+byte-exactness contract (all verified against executed goldens):
+
+* a zero code unit reads as EOF and silently truncates the document
+  (reference lexer.js:173 ``readBufferedCharBytes(readOffset) || null``);
+* UTF-8 is decoded with raw bit math and **no validation of continuation
+  bytes** — overlong encodings, surrogates and out-of-range sequences decode
+  to whatever the math yields (lexer.js:239-384);
+* an invalid UTF-8 *lead* byte (0x80-0xBF, 0xF8-0xFF) is a hard parse error:
+  ``Invalid UTF-8 leading byte: <n>`` (lexer.js:372-384);
+* a truncated multi-byte sequence at end of input is a clean EOF
+  (lexer.js:247-257 et al.);
+* UTF-16 inputs are processed one 16-bit unit at a time — surrogate halves
+  flow through the state machine individually and only re-combine when token
+  value strings are built (lexer.js:385-389 + JS String semantics);
+* BOM sniffing happens only on the file path and only when the input is at
+  least 4 bytes (lexer.js:446-499).
+
+The decoder is vectorized: the common case (valid UTF-8, no NUL) uses
+CPython's C decoder + a single ``frombuffer`` reinterpretation, which is
+bit-identical to the reference's math for all inputs the strict decoder
+accepts. Inputs that trip strict decoding fall back to an exact byte-walker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+ENC_UTF8 = "utf-8"
+ENC_UTF8_BOM = "utf-8-bom"
+ENC_UTF16_LE = "utf-16-le"
+ENC_UTF16_BE = "utf-16-be"
+ENC_UTF32_LE = "utf-32-le"
+ENC_UTF32_BE = "utf-32-be"
+
+
+@dataclass
+class DecodeResult:
+    units: np.ndarray  # uint32 code units (code points for utf-8/32 inputs)
+    error: str | None  # "Invalid UTF-8 leading byte: N" | other hard errors
+    encoding: str
+
+
+def _sniff(data: bytes) -> tuple[str, int]:
+    """BOM sniff per reference lexer.js:446-499. Returns (encoding, offset).
+
+    Only called for >=4-byte inputs; check order matters (FE FF before FF FE,
+    UTF-32 LE only when bytes 2-3 are zero).
+    """
+    b0, b1, b2, b3 = data[0], data[1], data[2], data[3]
+    if b0 == 0xEF and b1 == 0xBB and b2 == 0xBF:
+        return ENC_UTF8_BOM, 3
+    if b0 == 0xFE and b1 == 0xFF:
+        return ENC_UTF16_BE, 2
+    if b0 == 0xFF and b1 == 0xFE:
+        if b2 == 0 and b3 == 0:
+            return ENC_UTF32_LE, 4
+        return ENC_UTF16_LE, 2
+    if b0 == 0 and b1 == 0 and b2 == 0xFE and b3 == 0xFF:
+        return ENC_UTF32_BE, 4
+    return ENC_UTF8, 0
+
+
+def _utf8_walk(data: bytes) -> tuple[list[int], str | None]:
+    """Exact per-byte emulation of the reference UTF-8 math (rare path).
+
+    ``data`` has already been truncated at the first NUL, so continuation
+    reads hitting a zero byte are equivalent to hitting end-of-input (both
+    are EOF in the reference).
+    """
+    out: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b < 0x80:
+            out.append(b)
+            i += 1
+        elif 0xC0 <= b <= 0xDF:
+            if i + 1 >= n:
+                break  # EOF mid-sequence
+            out.append(((b & 0x1F) << 6) | (data[i + 1] & 0x3F))
+            i += 2
+        elif 0xE0 <= b <= 0xEF:
+            if i + 2 >= n:
+                break
+            out.append(((b & 0x0F) << 12) | ((data[i + 1] & 0x3F) << 6) | (data[i + 2] & 0x3F))
+            i += 3
+        elif 0xF0 <= b <= 0xF7:
+            if i + 3 >= n:
+                break
+            out.append(
+                ((b & 0x07) << 18)
+                | ((data[i + 1] & 0x3F) << 12)
+                | ((data[i + 2] & 0x3F) << 6)
+                | (data[i + 3] & 0x3F)
+            )
+            i += 4
+        else:
+            return out, f"Invalid UTF-8 leading byte: {b}"
+    return out, None
+
+
+def _str_to_units(s: str) -> np.ndarray:
+    if not s:
+        return np.empty(0, dtype=np.uint32)
+    return np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.uint32, copy=False)
+
+
+def _decode_utf8_units(data: bytes) -> tuple[np.ndarray, str | None]:
+    # NUL truncates (reference lexer.js:173); valid both as lead byte and as
+    # any continuation byte, because the reference's byte reader returns EOF
+    # for a zero byte wherever it appears.
+    nul = data.find(b"\x00")
+    if nul >= 0:
+        data = data[:nul]
+    try:
+        return _str_to_units(data.decode("utf-8", errors="strict")), None
+    except UnicodeDecodeError:
+        units, err = _utf8_walk(data)
+        return np.asarray(units, dtype=np.uint32), err
+
+
+def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
+    """Decode raw document bytes to the code-unit array the tokenizer runs on."""
+    encoding = ENC_UTF8
+    offset = 0
+    if sniff_bom and len(data) >= 4:
+        encoding, offset = _sniff(data)
+
+    if encoding in (ENC_UTF8, ENC_UTF8_BOM):
+        units, err = _decode_utf8_units(data[offset:] if offset else data)
+        return DecodeResult(units, err, encoding)
+
+    body = data[offset:]
+    if encoding in (ENC_UTF16_LE, ENC_UTF16_BE):
+        # The reference indexes its DataView 2 bytes at a time; an odd tail
+        # byte reads stale buffer memory there — we refuse to emulate
+        # undefined behavior and drop the dangling byte instead.
+        body = body[: len(body) - (len(body) % 2)]
+        dt = "<u2" if encoding == ENC_UTF16_LE else ">u2"
+        units = np.frombuffer(body, dtype=dt).astype(np.uint32)
+    else:
+        body = body[: len(body) - (len(body) % 4)]
+        dt = "<u4" if encoding == ENC_UTF32_LE else ">u4"
+        units = np.frombuffer(body, dtype=dt).astype(np.uint32)
+
+    # Zero code unit == EOF truncation, same as the UTF-8 NUL rule.
+    zeros = np.flatnonzero(units == 0)
+    if zeros.size:
+        units = units[: zeros[0]]
+
+    # JS String.fromCodePoint throws RangeError above 0x10FFFF, which aborts
+    # the reference parse; surface the same hard error.
+    err = None
+    if units.size:
+        bad = np.flatnonzero(units > 0x10FFFF)
+        if bad.size:
+            err = f"Invalid code point {int(units[bad[0]])}"
+            units = units[: bad[0]]
+    return DecodeResult(units, err, encoding)
+
+
+_SURROGATE_LO = 0xD800
+_SURROGATE_HI = 0xDFFF
+
+
+def units_to_str(units: np.ndarray) -> str:
+    """Build a Python string from code units with JS string semantics.
+
+    Adjacent high+low surrogate units combine into one astral code point
+    (exactly what juxtaposing ``String.fromCodePoint`` halves does in a JS
+    string); lone surrogates are preserved as surrogate code points.
+    """
+    if units.size == 0:
+        return ""
+    mx = int(units.max())
+    if mx > 0x10FFFF:  # defensive: decoder already guards this
+        raise ValueError(f"Invalid code point {mx}")
+    if not bool(((units >= _SURROGATE_LO) & (units <= _SURROGATE_HI)).any()):
+        return units.astype("<u4").tobytes().decode("utf-32-le")
+    out: list[str] = []
+    i, n = 0, int(units.size)
+    u = units
+    while i < n:
+        cu = int(u[i])
+        if 0xD800 <= cu <= 0xDBFF and i + 1 < n:
+            lo = int(u[i + 1])
+            if 0xDC00 <= lo <= 0xDFFF:
+                out.append(chr(0x10000 + ((cu - 0xD800) << 10) + (lo - 0xDC00)))
+                i += 2
+                continue
+        out.append(chr(cu))
+        i += 1
+    return "".join(out)

@@ -1,0 +1,73 @@
+"""Per-document parse API: bytes → nodes + extraction outputs.
+
+This is the kernel the Spark UDF (tempeh_spark.udf) calls once per row of an
+Arrow batch. It is also the API used directly by the golden tests, mirroring
+the reference's two entry points:
+
+* ``parse_bytes(data)``  ≙ ``parser.parseFile(path)``  (BOM sniff applies,
+  reference HTMLParser.js:111-118 + lexer.js:440-501)
+* ``parse_string(s)``    ≙ ``parser.parseString(s)``  (UTF-8 encode, no BOM
+  sniff, reference HTMLParser.js:132-139 + lexer.js:141-145)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from tempeh_spark.chardecode import decode_html_bytes
+from tempeh_spark.extract import Extraction, extract_all
+from tempeh_spark.options import DEFAULT_OPTIONS, ParserOptions
+from tempeh_spark.tokenizer import tokenize
+from tempeh_spark.tree import BuildResult, build_tree
+
+
+@dataclass
+class ParseResult:
+    nodes: list | None
+    error: str | None
+    extraction: Extraction
+    encoding: str
+    n_tokens: int
+
+    @property
+    def text(self) -> str:
+        return self.extraction.text
+
+    @property
+    def main_text(self) -> str:
+        return self.extraction.main_text
+
+    def nodes_json(self) -> str | None:
+        """Canonical JSON of the node tree (fixed key order, compact,
+        non-ASCII preserved). Byte-stable for golden comparison."""
+        if self.nodes is None:
+            return None
+        return json.dumps(self.nodes, ensure_ascii=False, separators=(",", ":"))
+
+
+def parse_bytes(data: bytes, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
+    dec = decode_html_bytes(data, sniff_bom=options.sniff_bom)
+    tokens = tokenize(dec.units, ignore_self_closing=options.ignore_self_closing_syntax)
+    if dec.error is not None:
+        # A decode error aborts the reference parse wherever it occurs; the
+        # error position is the line/column after the last decoded unit
+        # (lexer.js:372-384 + parseTemplate.js:40-49).
+        eof_tok = tokens[-1]
+        err = f"Tempeh parsing error: {dec.error} at {eof_tok[2]}:{eof_tok[3]}"
+        return ParseResult(None, err, extract_all(None), dec.encoding, len(tokens))
+    built: BuildResult = build_tree(tokens, tag_name_casing=options.tag_name_casing)
+    if built.error is not None:
+        return ParseResult(None, built.error, extract_all(None), dec.encoding, built.n_tokens)
+    return ParseResult(
+        built.nodes, None, extract_all(built.nodes), dec.encoding, built.n_tokens
+    )
+
+
+def parse_string(s: str, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
+    opts = ParserOptions(
+        tag_name_casing=options.tag_name_casing,
+        ignore_self_closing_syntax=options.ignore_self_closing_syntax,
+        sniff_bom=False,
+    )
+    return parse_bytes(s.encode("utf-8"), opts)
