@@ -19,10 +19,12 @@ byte-exactness contract (all verified against executed goldens):
 * BOM sniffing happens only on the file path and only when the input is at
   least 4 bytes (lexer.js:446-499).
 
-The decoder is vectorized: the common case (valid UTF-8, no NUL) uses
-CPython's C decoder + a single ``frombuffer`` reinterpretation, which is
-bit-identical to the reference's math for all inputs the strict decoder
-accepts. Inputs that trip strict decoding fall back to an exact byte-walker.
+Decoding targets a Python ``str`` whose characters map 1:1 onto the
+reference's code units (UTF-16 surrogate halves become lone-surrogate
+chars), so the tokenizer can run entirely on C-speed ``str``/regex
+machinery. The common case (valid UTF-8, no NUL) is a single CPython C
+decode, bit-identical to the reference's math for all inputs the strict
+decoder accepts; anything else falls back to an exact byte-walker.
 """
 
 from __future__ import annotations
@@ -41,7 +43,8 @@ ENC_UTF32_BE = "utf-32-be"
 
 @dataclass
 class DecodeResult:
-    units: np.ndarray  # uint32 code units (code points for utf-8/32 inputs)
+    text: str  # one char per reference code unit (lone surrogates possible)
+    has_surrogates: bool
     error: str | None  # "Invalid UTF-8 leading byte: N" | other hard errors
     encoding: str
 
@@ -105,13 +108,7 @@ def _utf8_walk(data: bytes) -> tuple[list[int], str | None]:
     return out, None
 
 
-def _str_to_units(s: str) -> np.ndarray:
-    if not s:
-        return np.empty(0, dtype=np.uint32)
-    return np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.uint32, copy=False)
-
-
-def _decode_utf8_units(data: bytes) -> tuple[np.ndarray, str | None]:
+def _decode_utf8(data: bytes) -> DecodeResult:
     # NUL truncates (reference lexer.js:173); valid both as lead byte and as
     # any continuation byte, because the reference's byte reader returns EOF
     # for a zero byte wherever it appears.
@@ -119,22 +116,39 @@ def _decode_utf8_units(data: bytes) -> tuple[np.ndarray, str | None]:
     if nul >= 0:
         data = data[:nul]
     try:
-        return _str_to_units(data.decode("utf-8", errors="strict")), None
+        return DecodeResult(data.decode("utf-8", errors="strict"), False, None, ENC_UTF8)
     except UnicodeDecodeError:
         units, err = _utf8_walk(data)
-        return np.asarray(units, dtype=np.uint32), err
+        # units may contain anything the raw math yields: surrogates (from
+        # CESU-8-style input), overlong-decoded values, up to 0x1FFFFF.
+        bad = next((u for u in units if u > 0x10FFFF), None)
+        if bad is not None:
+            # JS String.fromCodePoint would throw RangeError, aborting the
+            # reference parse when this unit reaches a token value.
+            cut = units.index(bad)
+            text = "".join(map(chr, units[:cut]))
+            return DecodeResult(
+                text,
+                any(0xD800 <= u <= 0xDFFF for u in units[:cut]),
+                f"Invalid code point {bad}",
+                ENC_UTF8,
+            )
+        text = "".join(map(chr, units))
+        return DecodeResult(
+            text, any(0xD800 <= u <= 0xDFFF for u in units), err, ENC_UTF8
+        )
 
 
 def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
-    """Decode raw document bytes to the code-unit array the tokenizer runs on."""
+    """Decode raw document bytes to the per-unit string the tokenizer runs on."""
     encoding = ENC_UTF8
     offset = 0
     if sniff_bom and len(data) >= 4:
         encoding, offset = _sniff(data)
 
     if encoding in (ENC_UTF8, ENC_UTF8_BOM):
-        units, err = _decode_utf8_units(data[offset:] if offset else data)
-        return DecodeResult(units, err, encoding)
+        r = _decode_utf8(data[offset:] if offset else data)
+        return DecodeResult(r.text, r.has_surrogates, r.error, encoding)
 
     body = data[offset:]
     if encoding in (ENC_UTF16_LE, ENC_UTF16_BE):
@@ -143,57 +157,44 @@ def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
         # undefined behavior and drop the dangling byte instead.
         body = body[: len(body) - (len(body) % 2)]
         dt = "<u2" if encoding == ENC_UTF16_LE else ">u2"
-        units = np.frombuffer(body, dtype=dt).astype(np.uint32)
+        units = np.frombuffer(body, dtype=dt)
     else:
         body = body[: len(body) - (len(body) % 4)]
         dt = "<u4" if encoding == ENC_UTF32_LE else ">u4"
-        units = np.frombuffer(body, dtype=dt).astype(np.uint32)
+        units = np.frombuffer(body, dtype=dt)
 
     # Zero code unit == EOF truncation, same as the UTF-8 NUL rule.
     zeros = np.flatnonzero(units == 0)
     if zeros.size:
         units = units[: zeros[0]]
 
-    # JS String.fromCodePoint throws RangeError above 0x10FFFF, which aborts
-    # the reference parse; surface the same hard error.
     err = None
-    if units.size:
+    if units.dtype.itemsize == 4 and units.size:
+        # UTF-32 payloads can carry arbitrary uint32 values; JS
+        # String.fromCodePoint throws above 0x10FFFF (parse abort).
         bad = np.flatnonzero(units > 0x10FFFF)
         if bad.size:
             err = f"Invalid code point {int(units[bad[0]])}"
             units = units[: bad[0]]
-    return DecodeResult(units, err, encoding)
+
+    ul = units.tolist()
+    text = "".join(map(chr, ul))
+    has_surr = bool(
+        ((np.asarray(units) >= 0xD800) & (np.asarray(units) <= 0xDFFF)).any()
+    ) if len(ul) else False
+    return DecodeResult(text, has_surr, err, encoding)
 
 
-_SURROGATE_LO = 0xD800
-_SURROGATE_HI = 0xDFFF
+def combine_surrogates(s: str) -> str:
+    """JS-string semantics for token values: adjacent high+low surrogate
+    chars merge into one astral code point; lone surrogates survive."""
+    return s.encode("utf-16-le", errors="surrogatepass").decode(
+        "utf-16-le", errors="surrogatepass"
+    )
 
 
 def units_to_str(units: np.ndarray) -> str:
-    """Build a Python string from code units with JS string semantics.
-
-    Adjacent high+low surrogate units combine into one astral code point
-    (exactly what juxtaposing ``String.fromCodePoint`` halves does in a JS
-    string); lone surrogates are preserved as surrogate code points.
-    """
-    if units.size == 0:
+    """Legacy helper (kept for tests): unit array → JS-semantics string."""
+    if getattr(units, "size", len(units)) == 0:
         return ""
-    mx = int(units.max())
-    if mx > 0x10FFFF:  # defensive: decoder already guards this
-        raise ValueError(f"Invalid code point {mx}")
-    if not bool(((units >= _SURROGATE_LO) & (units <= _SURROGATE_HI)).any()):
-        return units.astype("<u4").tobytes().decode("utf-32-le")
-    out: list[str] = []
-    i, n = 0, int(units.size)
-    u = units
-    while i < n:
-        cu = int(u[i])
-        if 0xD800 <= cu <= 0xDBFF and i + 1 < n:
-            lo = int(u[i + 1])
-            if 0xDC00 <= lo <= 0xDFFF:
-                out.append(chr(0x10000 + ((cu - 0xD800) << 10) + (lo - 0xDC00)))
-                i += 2
-                continue
-        out.append(chr(cu))
-        i += 1
-    return "".join(out)
+    return combine_surrogates("".join(chr(int(u)) for u in units))

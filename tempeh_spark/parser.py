@@ -48,7 +48,11 @@ class ParseResult:
 
 def parse_bytes(data: bytes, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
     dec = decode_html_bytes(data, sniff_bom=options.sniff_bom)
-    tokens = tokenize(dec.units, ignore_self_closing=options.ignore_self_closing_syntax)
+    tokens = tokenize(
+        dec.text,
+        ignore_self_closing=options.ignore_self_closing_syntax,
+        has_surrogates=dec.has_surrogates,
+    )
     if dec.error is not None:
         # A decode error aborts the reference parse wherever it occurs; the
         # error position is the line/column after the last decoded unit
