@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the extraction pipeline (the engine's reason to exist):
+a deterministic Common-Crawl-style corpus — the 16 reference fixtures
+replicated under salted urls, 33 B – 38 KB size skew — parsed through the
+full url-bucketed Arrow-UDF pipeline. Reference baseline for the same work
+is ~10 docs/s/core (BASELINE.md); the suite also times the training-data
+operator families (dedup/LSH, text analysis, ANN top-k, joins/aggs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# parse-corpus rows scale with sf so the bench exercises real volume
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+PARSE_ROWS = int(os.environ.get("SPARK_GRAFT_PARSE_ROWS", str(int(500_000 * _SF))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tempeh_spark.corpus import bench_pages
+    from tempeh_spark.session import build_session
+    from tempeh_spark.udf import make_parse_udf
+
+    spark = build_session(app_name="tempeh-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # Warm-up: a 100 TB job amortizes Python-worker imports and codegen to
+    # zero, so the bench measures steady-state, not JVM/worker cold start.
+    # One tiny parse job touches every worker; one pass of the operator
+    # suite at the smallest sf compiles every query shape.
+    t_w = time.perf_counter()
+    warm = bench_pages(spark, 8 * CPUS, partitions=4 * CPUS)
+    warm.withColumn("p", make_parse_udf()(F.col("html"))).agg(
+        F.sum("p.n_nodes")
+    ).collect()
+    warm_qs = entrymod.queries()
+    for _name in (
+        "exact_dedup", "minhash_lsh", "simhash", "text_analysis",
+        "embedding_neardup", "brute_topk", "hourly_events", "sessionize",
+        "q1_pricing", "nation_revenue",
+    ):
+        warm_qs[_name](spark, "/root/testdata/sf0.001").count()
+    extras["warmup_sec"] = round(time.perf_counter() - t_w, 3)
+
+    # ---- headline: extraction throughput on the skewed synthetic corpus ----
+    corpus = bench_pages(spark, PARSE_ROWS, partitions=4 * CPUS).persist()
+    n_docs = corpus.count()  # materialize input outside the timed region
+    total_bytes = corpus.agg(F.sum(F.length("html"))).first()[0]
+
+    # training-data profile: text + metrics, no per-row DOM JSON / spans
+    parse_udf = make_parse_udf(with_nodes_json=False, with_spans=False)
+    t0 = time.perf_counter()
+    stats = (
+        corpus.withColumn("p", parse_udf(F.col("html")))
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("p.error").isNotNull().cast("long")).alias("errors"),
+            F.sum(F.col("p.n_nodes")).alias("nodes"),
+            F.sum(F.length(F.col("p.text"))).alias("chars"),
+        )
+        .first()
+    )
+    dt = time.perf_counter() - t0
+    timings["parse_extract"] = round(dt, 3)
+    extras["parse_docs_per_sec"] = round(n_docs / dt, 1)
+    extras["parse_mb_per_sec"] = round(total_bytes / dt / 1e6, 1)
+    extras["parse_rows"] = n_docs
+    extras["parse_errors"] = int(stats["errors"])
+    corpus.unpersist()
+
+    # ---- operator suite at the sf dir ----
+    qs = entrymod.queries()
+    for name in (
+        "exact_dedup",
+        "minhash_lsh",
+        "simhash",
+        "text_analysis",
+        "embedding_neardup",
+        "brute_topk",
+        "hourly_events",
+        "sessionize",
+        "q1_pricing",
+        "nation_revenue",
+    ):
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "cpus": CPUS,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

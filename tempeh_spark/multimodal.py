@@ -1,0 +1,152 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+metadata struct. The Spark-side plumbing here is real and tested — schemas,
+``mapInPandas`` batching, partition behavior — while the actual codec work
+is stubbed: this container ships no image/audio libraries, so ``decode``
+either raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake feature vector derived from the payload bytes (test
+mode). Swapping in a real decoder is a one-function change; everything
+around it (batch shape, output schema, salting) is already exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("n_bytes", LongType()),
+        StructField("magic", StringType()),  # sniffed container signature
+        StructField("sha", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("magic", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("n_frames", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_MAGICS = [
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG", "png"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),
+    (b"ID3", "mp3"),
+    (b"\x00\x00\x00", "mp4ish"),
+]
+
+
+def sniff_magic(data: bytes) -> str:
+    for sig, name in _MAGICS:
+        if data.startswith(sig):
+            return name
+    return "unknown"
+
+
+def _fake_feature(data: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: md5-chained
+    floats in [-1, 1). Replace with a real decode+embed when codecs exist."""
+    out: list[float] = []
+    h = hashlib.md5(data[:4096]).digest()
+    while len(out) < dim:
+        for i in range(0, 16, 4):
+            out.append(int.from_bytes(h[i : i + 4], "big") / 2**31 - 1.0)
+            if len(out) >= dim:
+                break
+        h = hashlib.md5(h).digest()
+    return out
+
+
+def decode_media(data: bytes) -> np.ndarray:
+    """The real decode hook. No codec libraries ship in this container."""
+    raise NotImplementedError(
+        "media decoding requires image/audio codecs not present in this "
+        "environment; wire a real decoder here (PIL/av/librosa) for "
+        "production use"
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    dim: int = 16,
+    strict: bool = False,
+    frame_stride: int = 1 << 16,
+) -> DataFrame:
+    """``mapInPandas`` feature extraction over a binary media column.
+
+    Batching contract: each Arrow batch yields one output row per input row;
+    ``n_frames`` demonstrates frame-sampling bookkeeping (1 pseudo-frame per
+    ``frame_stride`` bytes). ``strict=True`` exercises the real-decoder path
+    (error rows, never a job abort).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                if data is None:
+                    rows.append((mid, 0, None, None, 0, "null media"))
+                    continue
+                b = bytes(data)
+                magic = sniff_magic(b)
+                if strict:
+                    try:
+                        decode_media(b)
+                    except NotImplementedError as e:
+                        rows.append((mid, len(b), magic, None, 0, str(e)))
+                        continue
+                feat = _fake_feature(b, dim)
+                n_frames = max(1, len(b) // frame_stride)
+                rows.append((mid, len(b), magic, feat, n_frames, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "magic", "feature", "n_frames", "error"]
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def media_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id", kind: str = "image"
+) -> DataFrame:
+    """Pure built-in metadata projection (no Python): bytes, magic, sha."""
+    data = F.col(media_col)
+    magic = F.when(data.isNull(), None)
+    for sig, name in _MAGICS:
+        hexsig = sig.hex()
+        magic = magic.when(
+            F.hex(F.substring(data, 1, len(sig))) == hexsig.upper(), F.lit(name)
+        )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.length(data).cast("long").alias("n_bytes"),
+        magic.otherwise(F.lit("unknown")).alias("magic"),
+        F.sha2(data, 256).alias("sha"),
+    )

@@ -1,0 +1,177 @@
+"""Job layer: the 10^12-document extraction pipeline.
+
+Plan shape (see SURVEY.md §3 "Spark lifecycle"):
+
+    scan(url, warc_ts, html, lang)           -- column-pruned at the source
+      -> repartition(buckets, xxhash64(url)) -- explicit url-hash bucketing
+      -> ArrowEvalPython[parse_html_udf]     -- the fused parse kernel
+      -> project url, warc_ts, parse outputs, lineage
+      -> sink (parquet dir or Iceberg table)
+
+Scale decisions, explicitly:
+
+* Bucketing by ``xxhash64(url)`` gives a uniform row distribution and a
+  deterministic url→task mapping (lineage). Document-size skew (38 KB page
+  vs 33 B stub in one bucket) is handled by making buckets numerous
+  (``buckets >= 4 * cores``) so task max-size variance stays small, plus
+  AQE advisory sizing for the shuffle. A single row is the minimum work
+  unit — no intra-document parallelism is needed because parse cost is
+  linear in bytes and documents are capped by ``max_html_bytes``.
+* ``max_html_bytes`` guards executor memory: oversized documents become
+  error rows instead of OOM-killing a 1000-executor stage.
+* Resume is a checkpoint **anti-join**: re-running the job with the same
+  output path processes only urls absent from the committed output. With an
+  Iceberg sink this reads a snapshot; with the parquet sink it reads the
+  directory. No operator state, no driver bookkeeping — restartable from
+  any committed point.
+* Per-partition lineage + metrics: every output row carries its shuffle
+  partition id; a ``metrics`` summary (rows, bytes, errors, parse counters
+  per partition) is written next to the output for job observability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tempeh_spark.options import DEFAULT_OPTIONS, ParserOptions
+from tempeh_spark.udf import make_parse_udf
+
+INPUT_COLS = ("url", "warc_ts", "html", "lang")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    options: ParserOptions = DEFAULT_OPTIONS
+    buckets: int | None = None  # default: 4 * defaultParallelism
+    max_html_bytes: int = 64 * 1024 * 1024
+    salt_mod: int = 16  # sub-bucket salt for hot urls / giant hosts
+    with_nodes_json: bool = True  # drop to shrink output ~3-5x when unneeded
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Read the pages table. ``source`` is an Iceberg table name (contains no
+    '/') or a parquet path. Iceberg gives snapshot-pinned scans + partition
+    pruning; parquet is the sandbox fallback (same engine code either way)."""
+    if "/" in source:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
+def extract_pages(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """The core transformation: pages -> parsed/extracted rows.
+
+    Declarative all the way down: Catalyst prunes the scan to the four input
+    columns, the only shuffle is the explicit url-hash bucketing, and the
+    parse runs as one ArrowEvalPython stage.
+    """
+    spark = df.sparkSession
+    buckets = cfg.buckets or 4 * spark.sparkContext.defaultParallelism
+
+    guarded = df.select(
+        "url",
+        *[c for c in df.columns if c in ("warc_ts", "lang")],
+        F.when(F.length("html") <= cfg.max_html_bytes, F.col("html")).alias("html"),
+        (F.length("html") > cfg.max_html_bytes).alias("oversize"),
+    )
+
+    # Explicit bucketing: xxhash64(url) + a size-salt so that a pathological
+    # key distribution (one host = one hash neighborhood) still spreads.
+    bucketed = guarded.repartition(
+        buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets))
+    )
+
+    parse_udf = make_parse_udf(cfg.options)
+    parsed = bucketed.withColumn("parsed", parse_udf(F.col("html")))
+
+    out_cols = [
+        "url",
+        *[c for c in ("warc_ts", "lang") if c in df.columns],
+        F.when(F.col("oversize"), F.lit("oversize document skipped"))
+        .otherwise(F.col("parsed.error"))
+        .alias("error"),
+        F.col("parsed.text").alias("text"),
+        F.col("parsed.main_text").alias("main_text"),
+        F.col("parsed.spans").alias("spans"),
+        F.col("parsed.encoding").alias("encoding"),
+        F.col("parsed.n_tokens").alias("n_tokens"),
+        F.col("parsed.n_nodes").alias("n_nodes"),
+        F.col("parsed.n_elements").alias("n_elements"),
+        F.col("parsed.n_text_nodes").alias("n_text_nodes"),
+        F.col("parsed.n_comments").alias("n_comments"),
+        F.col("parsed.n_attrs").alias("n_attrs"),
+        F.col("parsed.max_depth").alias("max_depth"),
+        F.col("parsed.html_bytes").alias("html_bytes"),
+        F.spark_partition_id().alias("partition_id"),
+    ]
+    if cfg.with_nodes_json:
+        out_cols.insert(4, F.col("parsed.nodes_json").alias("nodes_json"))
+    return parsed.select(*out_cols)
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rollup (map-side combinable agg)."""
+    return extracted.groupBy("partition_id").agg(
+        F.count("*").alias("rows"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
+        F.sum("n_nodes").alias("nodes"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("max_depth").alias("max_depth"),
+        F.avg(F.length("text")).alias("avg_text_len"),
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    source: str,
+    output: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    resume: bool = True,
+) -> dict:
+    """End-to-end job with checkpoint/resume. Returns a metrics summary.
+
+    ``output`` is a parquet directory (or an Iceberg table name when no '/'
+    appears — writes use ``writeTo(...).append()`` there). Resume anti-joins
+    the committed output's urls so a restarted job only parses new urls.
+    """
+    pages = read_pages(spark, source)
+
+    is_table = "/" not in output
+    done_urls = None
+    if resume:
+        try:
+            done_urls = (
+                spark.read.table(output) if is_table else spark.read.parquet(output)
+            ).select("url")
+        except Exception:
+            done_urls = None  # first run: nothing committed yet
+
+    if done_urls is not None:
+        # left_anti on the bucketing key: both sides hash-partition on url
+        pages = pages.join(done_urls, on="url", how="left_anti")
+
+    extracted = extract_pages(pages, cfg)
+
+    if is_table:
+        extracted.writeTo(output).append()
+    else:
+        extracted.write.mode("append").parquet(output)
+
+    committed = spark.read.table(output) if is_table else spark.read.parquet(output)
+    metrics = partition_metrics(committed)
+    rollup = metrics.agg(
+        F.sum("rows").alias("rows"),
+        F.sum("bytes").alias("bytes"),
+        F.sum("errors").alias("errors"),
+    ).first()
+    metrics.write.mode("overwrite").parquet(
+        output.rstrip("/") + "_metrics" if not is_table else output + "_metrics"
+    )
+    return {
+        "rows": rollup["rows"],
+        "bytes": rollup["bytes"],
+        "errors": rollup["errors"],
+    }

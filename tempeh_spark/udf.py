@@ -74,8 +74,18 @@ def _sanitize(s: str) -> str:
         return s.encode("utf-8", errors="replace").decode("utf-8")
 
 
-def parse_batch(html: pd.Series, options: ParserOptions) -> pd.DataFrame:
-    """The batch kernel: one row per document, columns per PARSED_SCHEMA."""
+def parse_batch(
+    html: pd.Series,
+    options: ParserOptions,
+    with_nodes_json: bool = True,
+    with_spans: bool = True,
+) -> pd.DataFrame:
+    """The batch kernel: one row per document, columns per PARSED_SCHEMA.
+
+    ``with_nodes_json``/``with_spans`` skip the expensive DOM-JSON
+    serialization / span materialization (~40% of batch cost) when a
+    pipeline only needs extracted text + metrics — the common
+    training-data profile. The output schema is unchanged (nulls)."""
     rows = []
     for data in html:
         if data is None:
@@ -86,16 +96,17 @@ def parse_batch(html: pd.Series, options: ParserOptions) -> pd.DataFrame:
         b = bytes(data)
         r = parse_bytes(b, options)
         ex = r.extraction
+        ok = r.error is None
         rows.append(
             (
-                _sanitize(ex.text) if r.error is None else None,
-                _sanitize(ex.main_text) if r.error is None else None,
-                _sanitize(r.nodes_json()) if r.error is None else None,
+                _sanitize(ex.text) if ok else None,
+                _sanitize(ex.main_text) if ok else None,
+                _sanitize(r.nodes_json()) if ok and with_nodes_json else None,
                 [
                     {"dom_path": p, "l": l, "c": c, "text": _sanitize(t)}
                     for (p, l, c, t) in ex.spans
                 ]
-                if r.error is None
+                if ok and with_spans
                 else None,
                 _sanitize(r.error) if r.error is not None else None,
                 r.encoding,
@@ -112,7 +123,11 @@ def parse_batch(html: pd.Series, options: ParserOptions) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
 
 
-def make_parse_udf(options: ParserOptions = DEFAULT_OPTIONS):
+def make_parse_udf(
+    options: ParserOptions = DEFAULT_OPTIONS,
+    with_nodes_json: bool = True,
+    with_spans: bool = True,
+):
     """Build the Arrow-batched parse UDF with options baked into the closure."""
     from pyspark.sql.functions import pandas_udf
 
@@ -121,7 +136,7 @@ def make_parse_udf(options: ParserOptions = DEFAULT_OPTIONS):
         # Iterator form: per-worker setup (LUT warm-up) is amortized across
         # all batches of a task, and huge tasks stream batch-by-batch.
         for batch in html:
-            yield parse_batch(batch, options)
+            yield parse_batch(batch, options, with_nodes_json, with_spans)
 
     return parse_html_udf
 
