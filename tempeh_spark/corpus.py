@@ -22,7 +22,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-FIXTURE_DIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+import os
+
+FIXTURE_DIR = Path(
+    os.environ.get(
+        "TEMPEH_FIXTURE_DIR",
+        Path(__file__).resolve().parent.parent / "tests" / "fixtures",
+    )
+)
 BASE_TS = datetime.datetime(2025, 2, 2, 0, 0, 0)
 
 PAGES_SCHEMA = StructType(

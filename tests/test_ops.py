@@ -1,0 +1,125 @@
+"""Operator sanity tests with constructed inputs (known answers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about databases and queries"),
+        (5, "der hund und die katze sind nicht zu haus ein tag"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from tempeh_spark.dedup import exact_dedup_clusters
+
+    clusters = {r["keeper"]: r["n_docs"] for r in exact_dedup_clusters(docs).collect()}
+    assert clusters[1] == 2  # docs 1+2 collapse
+    assert clusters[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from tempeh_spark.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall(spark, docs):
+    from tempeh_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    # verified-LSH returns a subset of exact pairs; the identical pair must be found
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_consistency(spark, docs):
+    from tempeh_spark.dedup import simhash16_table, simhash_near_pairs
+
+    sh = {r["id"]: r["simhash"] for r in simhash16_table(docs).collect()}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+    assert 0 <= sh[1] < 2**16
+    assert sh[6] == 0  # empty doc
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lang_and_quality(spark, docs):
+    from tempeh_spark.textops import add_text_analysis
+
+    rows = {r["doc_id"]: r for r in add_text_analysis(docs).collect()}
+    assert rows[1]["lang_id"] == "en"
+    assert rows[5]["lang_id"] == "de"
+    assert rows[6]["lang_id"] == "und"
+    assert rows[1]["quality"] > rows[6]["quality"]
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+
+
+def test_similarity_topk(spark):
+    from tempeh_spark.similarity import brute_topk, ivf_topk, lsh_bucket_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),  # closest to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.5, 0.5, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where(F.col("vec_id") == 0)
+    top = brute_topk(emb, q, k=2).collect()
+    assert [r["nbr_id"] for r in top] == [1, 3]
+    ivf = ivf_topk(emb, q, k=2).collect()
+    assert [r["nbr_id"] for r in ivf] == [1, 3]  # same-cell neighbors only
+    lsh = lsh_bucket_topk(emb, q, dim=3, k=2, n_planes=2).collect()
+    assert all(r["query_id"] == 0 for r in lsh)
+
+
+def test_multimodal_plumbing(spark):
+    from tempeh_spark.multimodal import extract_media_features, media_metadata
+
+    rows = [
+        (1, b"\xff\xd8\xffjpegdata"),
+        (2, b"\x89PNGdata"),
+        (3, b"plain bytes"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    meta = {r["media_id"]: r for r in media_metadata(media).collect()}
+    assert meta[1]["magic"] == "jpeg"
+    assert meta[2]["magic"] == "png"
+    assert meta[3]["magic"] == "unknown"
+    assert meta[1]["n_bytes"] == 11
+
+    feats = {r["media_id"]: r for r in extract_media_features(media, dim=4).collect()}
+    assert len(feats[1]["feature"]) == 4
+    assert feats[1]["feature"] == feats[1]["feature"]  # deterministic not-NaN
+    assert feats[4]["error"] == "null media"
+
+    strict = {r["media_id"]: r for r in extract_media_features(media, strict=True).collect()}
+    assert strict[1]["error"] is not None and "decod" in strict[1]["error"]
+
+
+def test_bottomk_sketch_similarity(spark, docs):
+    from tempeh_spark.textops import bottomk_shingle_sketch
+
+    out = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", bottomk_shingle_sketch("text").alias("s")).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[4]

@@ -1,0 +1,75 @@
+"""Job-layer tests: extraction pipeline, checkpoint resume, metrics,
+oversize guard — against a temp parquet sink."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def pages_dir(spark, tmp_path):
+    from tempeh_spark.corpus import bench_pages
+
+    src = str(tmp_path / "pages")
+    bench_pages(spark, 64, partitions=4).write.parquet(src)
+    return src
+
+
+def test_extract_pages_outputs(spark, pages_dir):
+    from tempeh_spark.pipeline import PipelineConfig, extract_pages, read_pages
+
+    out = extract_pages(read_pages(spark, pages_dir), PipelineConfig(buckets=8))
+    rows = out.collect()
+    assert len(rows) == 64
+    ok = [r for r in rows if r["error"] is None]
+    assert len(ok) == 64
+    assert all(r["partition_id"] is not None for r in rows)
+    assert {r["encoding"] for r in rows} >= {"utf-8", "utf-16-le", "utf-16-be", "utf-8-bom"}
+
+
+def test_oversize_guard(spark):
+    from tempeh_spark.pipeline import PipelineConfig, extract_pages
+
+    df = spark.createDataFrame(
+        [("small", b"<p>x</p>"), ("big", b"<p>" + b"y" * 1000 + b"</p>")],
+        "url string, html binary",
+    )
+    out = extract_pages(df, PipelineConfig(buckets=2, max_html_bytes=100))
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["small"]["error"] is None and rows["small"]["text"] == "x"
+    assert rows["big"]["error"] == "oversize document skipped"
+
+
+def test_run_job_and_resume(spark, pages_dir, tmp_path):
+    from tempeh_spark.pipeline import PipelineConfig, run_extraction_job
+
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig(buckets=8, with_nodes_json=False)
+    m1 = run_extraction_job(spark, pages_dir, out_dir, cfg)
+    assert m1["rows"] == 64 and m1["errors"] == 0
+
+    # resume: nothing new to do; output unchanged
+    m2 = run_extraction_job(spark, pages_dir, out_dir, cfg)
+    assert m2["rows"] == 64
+
+    committed = spark.read.parquet(out_dir)
+    assert committed.count() == 64
+    assert committed.select("url").distinct().count() == 64
+    metrics = spark.read.parquet(out_dir.rstrip("/") + "_metrics")
+    assert metrics.agg({"rows": "sum"}).first()[0] == 64
+
+
+def test_resume_processes_only_new(spark, pages_dir, tmp_path):
+    from tempeh_spark.corpus import bench_pages
+    from tempeh_spark.pipeline import PipelineConfig, run_extraction_job
+
+    out_dir = str(tmp_path / "out2")
+    cfg = PipelineConfig(buckets=8, with_nodes_json=False)
+    run_extraction_job(spark, pages_dir, out_dir, cfg)
+
+    # append 32 new urls to the source, rerun
+    extra_dir = str(tmp_path / "pages_extra")
+    bench_pages(spark, 96, partitions=4).write.parquet(extra_dir)  # 64 old + 32 new urls
+    m = run_extraction_job(spark, extra_dir, out_dir, cfg)
+    assert m["rows"] == 96
+    assert spark.read.parquet(out_dir).count() == 96

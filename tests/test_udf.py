@@ -1,0 +1,123 @@
+"""End-to-end Spark coverage: the Arrow UDF must produce byte-identical
+outputs to the local kernel / reference goldens, through a real session."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).resolve().parent
+GOLDENS = json.loads((HERE / "goldens" / "goldens.json").read_text())
+
+
+def _golden_text(nodes):
+    parts, stack = [], list(reversed(nodes))
+    while stack:
+        nd = stack.pop()
+        if "textContent" in nd:
+            parts.append(nd["textContent"])
+        stack.extend(reversed(nd.get("children", [])))
+    return "".join(parts)
+
+
+@pytest.fixture(scope="module")
+def parsed_rows(spark):
+    from pyspark.sql import functions as F
+
+    from tempeh_spark import parse_html
+    from tempeh_spark.corpus import fixture_pages
+
+    out = parse_html(fixture_pages(spark)).select("url", "parsed.*")
+    return {r["url"].rsplit("/", 1)[-1]: r for r in out.collect()}
+
+
+def test_udf_matches_reference_goldens(parsed_rows):
+    n = 0
+    for key, case in GOLDENS.items():
+        if case["kind"] != "file" or not key.endswith(":lower"):
+            continue
+        row = parsed_rows[case["fixture"]]
+        nodes = case["result"]["nodes"]
+        assert row["nodes_json"] == json.dumps(
+            nodes, ensure_ascii=False, separators=(",", ":")
+        ), case["fixture"]
+        assert row["text"] == _golden_text(nodes), case["fixture"]
+        assert row["error"] is None
+        n += 1
+    assert n == 16
+
+
+def test_udf_error_and_edge_rows(spark):
+    from tempeh_spark import parse_html
+
+    probe = spark.createDataFrame(
+        [
+            ("null", None),
+            ("empty", b""),
+            ("bad", b"<div>\x80x"),
+            ("ok", b"<p>hello</p>"),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in parse_html(probe).select("url", "parsed.*").collect()}
+    assert rows["null"]["error"] == "null html"
+    assert rows["empty"]["error"] is None and rows["empty"]["n_nodes"] == 0
+    assert rows["bad"]["error"] == "Tempeh parsing error: Invalid UTF-8 leading byte: 128 at 1:5"
+    assert rows["ok"]["text"] == "hello"
+    assert rows["ok"]["spans"][0]["dom_path"] == "/p[1]"
+
+
+def test_udf_options_casing(spark):
+    from tempeh_spark import ParserOptions, parse_html
+
+    df = spark.createDataFrame([("u", b"<Div>a</div>b</Div>c")], "url string, html binary")
+    lower = parse_html(df).select("parsed.text").first()[0]
+    preserve = parse_html(df, options=ParserOptions(tag_name_casing="preserve")).select(
+        "parsed.text"
+    ).first()[0]
+    assert lower == "abc"
+    # preserve: </div> does not close <Div>, so 'b' stays inside Div
+    assert preserve == "abc"  # text order is the same; tree shape differs
+    nodes = json.loads(
+        parse_html(df, options=ParserOptions(tag_name_casing="preserve"))
+        .select("parsed.nodes_json")
+        .first()[0]
+    )
+    assert nodes[0]["tagName"] == "Div"
+    assert len(nodes[0]["children"]) == 2  # 'a' and 'b' both inside Div
+
+
+def test_udf_lean_profile(spark):
+    from pyspark.sql import functions as F
+
+    from tempeh_spark.corpus import fixture_pages
+    from tempeh_spark.udf import make_parse_udf
+
+    udf = make_parse_udf(with_nodes_json=False, with_spans=False)
+    row = (
+        fixture_pages(spark)
+        .withColumn("p", udf(F.col("html")))
+        .select("p.text", "p.nodes_json", "p.spans", "p.n_nodes")
+        .first()
+    )
+    assert row["text"] is not None
+    assert row["nodes_json"] is None and row["spans"] is None
+    assert row["n_nodes"] > 0
+
+
+def test_plan_is_arrow_eval(spark):
+    """The parse must run as one ArrowEvalPython stage over a pruned scan."""
+    from tempeh_spark import parse_html
+    from tempeh_spark.corpus import fixture_pages
+
+    plan = (
+        parse_html(fixture_pages(spark))
+        .select("url", "parsed.text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
