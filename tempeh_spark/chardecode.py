@@ -47,6 +47,18 @@ class DecodeResult:
     has_surrogates: bool
     error: str | None  # "Invalid UTF-8 leading byte: N" | other hard errors
     encoding: str
+    # positions of units > 0x10FFFF (unrepresentable in a Python str); the
+    # char at each position is the OVERSIZED_PLACEHOLDER, whose character
+    # classes match any >0x10FFFF unit's exactly. The reference only fails on
+    # such a unit when it reaches a token value (String.fromCodePoint throws
+    # RangeError at token build, lexer.js:590 et al.) — a unit consumed in a
+    # skipped region (closing-tag junk) parses fine.
+    oversized: dict[int, int] | None = None
+
+
+# U+10FFFE: not a tag-name char (> 0xEFFFF), not whitespace/quote/slash —
+# class-identical to every oversized unit under the reference's predicates.
+OVERSIZED_PLACEHOLDER = "\U0010fffe"
 
 
 def _sniff(data: bytes) -> tuple[str, int]:
@@ -121,21 +133,16 @@ def _decode_utf8(data: bytes) -> DecodeResult:
         units, err = _utf8_walk(data)
         # units may contain anything the raw math yields: surrogates (from
         # CESU-8-style input), overlong-decoded values, up to 0x1FFFFF.
-        bad = next((u for u in units if u > 0x10FFFF), None)
-        if bad is not None:
-            # JS String.fromCodePoint would throw RangeError, aborting the
-            # reference parse when this unit reaches a token value.
-            cut = units.index(bad)
-            text = "".join(map(chr, units[:cut]))
-            return DecodeResult(
-                text,
-                any(0xD800 <= u <= 0xDFFF for u in units[:cut]),
-                f"Invalid code point {bad}",
-                ENC_UTF8,
-            )
-        text = "".join(map(chr, units))
+        oversized = {i: u for i, u in enumerate(units) if u > 0x10FFFF} or None
+        text = "".join(
+            OVERSIZED_PLACEHOLDER if u > 0x10FFFF else chr(u) for u in units
+        )
         return DecodeResult(
-            text, any(0xD800 <= u <= 0xDFFF for u in units), err, ENC_UTF8
+            text,
+            any(0xD800 <= u <= 0xDFFF for u in units),
+            err,
+            ENC_UTF8,
+            oversized,
         )
 
 
@@ -148,7 +155,7 @@ def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
 
     if encoding in (ENC_UTF8, ENC_UTF8_BOM):
         r = _decode_utf8(data[offset:] if offset else data)
-        return DecodeResult(r.text, r.has_surrogates, r.error, encoding)
+        return DecodeResult(r.text, r.has_surrogates, r.error, encoding, r.oversized)
 
     body = data[offset:]
     if encoding in (ENC_UTF16_LE, ENC_UTF16_BE):
@@ -168,21 +175,23 @@ def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
     if zeros.size:
         units = units[: zeros[0]]
 
-    err = None
+    oversized = None
+    ul = units.tolist()
     if units.dtype.itemsize == 4 and units.size:
         # UTF-32 payloads can carry arbitrary uint32 values; JS
-        # String.fromCodePoint throws above 0x10FFFF (parse abort).
+        # String.fromCodePoint throws above 0x10FFFF when the unit reaches a
+        # token value (deferred via placeholder, see DecodeResult).
         bad = np.flatnonzero(units > 0x10FFFF)
         if bad.size:
-            err = f"Invalid code point {int(units[bad[0]])}"
-            units = units[: bad[0]]
-
-    ul = units.tolist()
-    text = "".join(map(chr, ul))
+            oversized = {int(i): int(units[i]) for i in bad}
+    text = "".join(
+        OVERSIZED_PLACEHOLDER if (oversized and i in oversized) else chr(u)
+        for i, u in enumerate(ul)
+    )
     has_surr = bool(
         ((np.asarray(units) >= 0xD800) & (np.asarray(units) <= 0xDFFF)).any()
     ) if len(ul) else False
-    return DecodeResult(text, has_surr, err, encoding)
+    return DecodeResult(text, has_surr, None, encoding, oversized)
 
 
 def combine_surrogates(s: str) -> str:

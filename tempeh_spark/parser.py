@@ -18,7 +18,7 @@ from dataclasses import dataclass
 from tempeh_spark.chardecode import decode_html_bytes
 from tempeh_spark.extract import Extraction, extract_all
 from tempeh_spark.options import DEFAULT_OPTIONS, ParserOptions
-from tempeh_spark.tokenizer import tokenize
+from tempeh_spark.tokenizer import InvalidCodePointError, tokenize
 from tempeh_spark.tree import BuildResult, build_tree
 
 
@@ -48,18 +48,19 @@ class ParseResult:
 
 def parse_bytes(data: bytes, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
     dec = decode_html_bytes(data, sniff_bom=options.sniff_bom)
-    tokens = tokenize(
-        dec.text,
-        ignore_self_closing=options.ignore_self_closing_syntax,
-        has_surrogates=dec.has_surrogates,
-    )
-    if dec.error is not None:
-        # A decode error aborts the reference parse wherever it occurs; the
-        # error position is the line/column after the last decoded unit
-        # (lexer.js:372-384 + parseTemplate.js:40-49).
-        eof_tok = tokens[-1]
-        err = f"Tempeh parsing error: {dec.error} at {eof_tok[2]}:{eof_tok[3]}"
-        return ParseResult(None, err, extract_all(None), dec.encoding, len(tokens))
+    try:
+        tokens = tokenize(
+            dec.text,
+            ignore_self_closing=options.ignore_self_closing_syntax,
+            has_surrogates=dec.has_surrogates,
+            oversized=dec.oversized,
+            terminal_error=dec.error,
+        )
+    except InvalidCodePointError as e:
+        # raw RangeError message, no "Tempeh parsing error" wrapper: the
+        # reference aborts the stream with the exception itself, not an
+        # ERROR token (lexer.js:513-516 + HTMLParser toArray rejection)
+        return ParseResult(None, str(e), extract_all(None), dec.encoding, 0)
     built: BuildResult = build_tree(tokens, tag_name_casing=options.tag_name_casing)
     if built.error is not None:
         return ParseResult(None, built.error, extract_all(None), dec.encoding, built.n_tokens)

@@ -93,15 +93,27 @@ def _is_leading_tag_char(ch: str) -> bool:
     return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ch == "_"
 
 
+class InvalidCodePointError(Exception):
+    """A unit > 0x10FFFF reached a token value: the reference's
+    String.fromCodePoint throws RangeError('Invalid code point N') there,
+    aborting the whole parse (lexer.js:590 et al. + stream abort)."""
+
+    def __init__(self, unit: int):
+        super().__init__(f"Invalid code point {unit}")
+        self.unit = unit
+
+
 class _Doc:
     """Per-document scan state shared by the sub-lexers."""
 
-    __slots__ = ("s", "n", "breaks", "eof_l", "eof_c", "surr")
+    __slots__ = ("s", "n", "breaks", "eof_l", "eof_c", "surr", "oversized", "_ov_keys")
 
-    def __init__(self, s: str, has_surrogates: bool):
+    def __init__(self, s: str, has_surrogates: bool, oversized: dict[int, int] | None = None):
         self.s = s
         self.n = len(s)
         self.surr = has_surrogates
+        self.oversized = oversized
+        self._ov_keys = sorted(oversized) if oversized else None
         self.breaks = [m.start() for m in _BRK_RX.finditer(s)]
         nb = len(self.breaks)
         self.eof_l = nb + 1
@@ -123,6 +135,10 @@ class _Doc:
         return nb + 1, i - last
 
     def val(self, a: int, b: int) -> str:
+        if self._ov_keys is not None:
+            i = bisect_left(self._ov_keys, a)
+            if i < len(self._ov_keys) and self._ov_keys[i] < b:
+                raise InvalidCodePointError(self.oversized[self._ov_keys[i]])
         v = self.s[a:b]
         if self.surr:
             return combine_surrogates(v)
@@ -142,17 +158,32 @@ def _bs_parity(s: str, j: int, floor: int) -> bool:
 
 
 def tokenize(
-    text: str, ignore_self_closing: bool = False, has_surrogates: bool = False
+    text: str,
+    ignore_self_closing: bool = False,
+    has_surrogates: bool = False,
+    oversized: dict[int, int] | None = None,
+    terminal_error: str | None = None,
 ) -> list:
-    """Tokenize a per-unit document string. Returns [(type, value, l, c)]."""
-    d = _Doc(text, has_surrogates)
+    """Tokenize a per-unit document string. Returns [(type, value, l, c)].
+
+    ``terminal_error`` set means the byte stream ended with a decode error
+    (invalid UTF-8 lead byte): the stream terminator is an ERROR token, not
+    EOF — and the text state does NOT flush buffered text for it (the
+    EOF-only flush, lexer.js:585-594).
+
+    Raises InvalidCodePointError when a >0x10FFFF unit reaches a token value
+    (reference parity; see _Doc.val)."""
+    d = _Doc(text, has_surrogates, oversized)
     s = text
     n = d.n
     tokens: list = []
     emit = tokens.append
 
     def eof() -> None:
-        emit((EOF, None, d.eof_l, d.eof_c))
+        if terminal_error is not None:
+            emit((ERROR, terminal_error, d.eof_l, d.eof_c))
+        else:
+            emit((EOF, None, d.eof_l, d.eof_c))
 
     i = 0  # we are in "text" state at loop top
     while True:
@@ -185,6 +216,10 @@ def tokenize(
                     break
             j += 1  # this '<' is plain text; keep scanning
 
+        if transition == 0 and terminal_error is not None:
+            # decode-error terminator: buffered text is NOT flushed
+            eof()
+            return tokens
         tl, tc = d.pos(ts)
         emit((TEXT, d.val(ts, j), tl, tc))
         if transition == 0:
