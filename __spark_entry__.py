@@ -79,7 +79,11 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("parsed.main_text").alias("main_text"),
         F.col("parsed.error").alias("error"),
         F.col("parsed.n_nodes").alias("n_nodes"),
-        (F.col("parsed.text") == F.col("src_text")).alias("roundtrip_ok"),
+        (
+            F.col("parsed.error").isNull()
+            & F.col("parsed.text").contains(F.col("src_text"))
+            & (F.col("parsed.main_text") == F.col("src_text"))
+        ).alias("roundtrip_ok"),
         token_count(F.col("parsed.text")).cast("long").alias("n_tokens"),
         lang_id(F.col("parsed.text")).alias("lang_id"),
         quality_score(F.col("parsed.text")).alias("quality"),
