@@ -39,6 +39,7 @@ BLOCK_TAGS = frozenset(
 )
 
 MAX_LINK_DENSITY = 0.8
+_MAX_PATH_CHARS = 8192
 
 
 @dataclass
@@ -84,24 +85,52 @@ def extract_all(nodes: list | None) -> Extraction:
         cur_block_parts.clear()
         cur_block_link_parts.clear()
 
-    # explicit stack of (node, path_string, depth, in_noncontent, in_link)
+    # dom paths as lazily-materialized chains: [parent_chain, segment, cache].
+    # A path string is only built when a text node needs it (single join,
+    # cached on the text's parent) — never incremental concatenation, which
+    # is O(depth^2) copying on a 10^5-deep broken page. Paths beyond
+    # _MAX_PATH_CHARS keep only their tail (bounds span output size for
+    # pathological nesting; the tail is the useful part).
+    def materialize(chain) -> str:
+        if chain is None:
+            return ""
+        if chain[2] is not None:
+            return chain[2]
+        segs = []
+        c = chain
+        while c is not None and c[2] is None:
+            segs.append(c[1])
+            c = c[0]
+        base = c[2] if c is not None else ""
+        segs.reverse()
+        full = f"{base}/{'/'.join(segs)}"
+        if len(full) > _MAX_PATH_CHARS:
+            full = "…" + full[-_MAX_PATH_CHARS:]
+        chain[2] = full
+        return full
+
+    # explicit stack of (node, chain, depth, in_noncontent, in_link)
     # processed in document order; sentinel entries handle block flushes on
     # element exit.
     root_counters: dict[str, int] = {}
+    items = []
     for nd in nodes:
+        chain = None
         if "tagName" in nd:
             t = nd["tagName"]
             root_counters[t] = root_counters.get(t, 0) + 1
-            nd["_path"] = f"/{t}[{root_counters[t]}]"
-    stack: list = [(nd, "", 1, False, False) for nd in reversed(nodes)]
+            chain = [None, f"{t}[{root_counters[t]}]", None]
+        items.append((nd, chain, 1, False, False))
+    stack: list = list(reversed(items))
     while stack:
         item = stack.pop()
         if item is None:  # block-exit sentinel
             flush_block()
             continue
-        nd, parent_path, depth, noncontent, in_link = item
+        nd, chain, depth, noncontent, in_link = item
         n_nodes += 1
-        max_depth = max(max_depth, depth)
+        if depth > max_depth:
+            max_depth = depth
 
         if "tagName" in nd:
             n_elements += 1
@@ -116,21 +145,18 @@ def extract_all(nodes: list | None) -> Extraction:
             if is_block and not child_noncontent:
                 flush_block()
             children = nd.get("children")
-            # sibling index bookkeeping is handled by the parent (below);
-            # path for this element was precomputed when pushed — rebuild
-            # children pushes with sibling counters here.
             if children:
-                path = nd["_path"]
                 if is_block and not child_noncontent:
                     stack.append(None)  # flush on exit
                 counters: dict[str, int] = {}
                 prepared = []
                 for ch in children:
+                    ch_chain = chain
                     if "tagName" in ch:
                         t = ch["tagName"]
                         counters[t] = counters.get(t, 0) + 1
-                        ch["_path"] = f"{path}/{t}[{counters[t]}]"
-                    prepared.append((ch, path, depth + 1, child_noncontent, child_in_link))
+                        ch_chain = [chain, f"{t}[{counters[t]}]", None]
+                    prepared.append((ch, ch_chain, depth + 1, child_noncontent, child_in_link))
                 stack.extend(reversed(prepared))
             elif is_block and not child_noncontent:
                 flush_block()
@@ -138,7 +164,7 @@ def extract_all(nodes: list | None) -> Extraction:
             n_text += 1
             t = nd["textContent"]
             text_parts.append(t)
-            spans.append((parent_path or "/", nd["l"], nd["c"], t))
+            spans.append((materialize(chain) or "/", nd["l"], nd["c"], t))
             if not noncontent:
                 cur_block_parts.append(t)
                 if in_link:
@@ -148,9 +174,6 @@ def extract_all(nodes: list | None) -> Extraction:
         # doctype: counted in n_nodes only
 
     flush_block()
-
-    # clean up the temporary _path keys injected during the walk
-    _strip_paths(nodes)
 
     return Extraction(
         text="".join(text_parts),
@@ -164,13 +187,3 @@ def extract_all(nodes: list | None) -> Extraction:
         max_depth=max_depth,
     )
 
-
-def _strip_paths(nodes: list) -> None:
-    work = [nodes]
-    while work:
-        lst = work.pop()
-        for nd in lst:
-            nd.pop("_path", None)
-            ch = nd.get("children")
-            if ch:
-                work.append(ch)

@@ -43,7 +43,49 @@ class ParseResult:
         non-ASCII preserved). Byte-stable for golden comparison."""
         if self.nodes is None:
             return None
-        return json.dumps(self.nodes, ensure_ascii=False, separators=(",", ":"))
+        return dump_nodes(self.nodes)
+
+
+def dump_nodes(nodes: list) -> str:
+    """Iterative canonical JSON — byte-identical to ``json.dumps(nodes,
+    ensure_ascii=False, separators=(",", ":"))`` but depth-independent
+    (a broken page nested 10^5 deep must not blow the recursion limit)."""
+
+    def jd(v) -> str:
+        return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+
+    parts: list[str] = ["["]
+    # frame: [child_iterator, tail_string, first_flag]
+    stack: list[list] = [[iter(nodes), "]", True]]
+    while stack:
+        frame = stack[-1]
+        it = frame[0]
+        advanced = False
+        for nd in it:
+            if not frame[2]:
+                parts.append(",")
+            frame[2] = False
+            ch = nd.get("children")
+            if ch is None:
+                parts.append(jd(nd))  # flat node (attrs are depth-2 at most)
+                continue
+            pre: list[str] = []
+            post: list[str] = []
+            seen = False
+            for k, v in nd.items():
+                if k == "children":
+                    seen = True
+                    continue
+                (post if seen else pre).append(f"{jd(k)}:{jd(v)}")
+            parts.append("{" + ",".join(pre) + ',"children":[')
+            suffix = ("]," + ",".join(post) + "}") if post else "]}"
+            stack.append([iter(ch), suffix, True])
+            advanced = True
+            break
+        if not advanced:
+            parts.append(frame[1])
+            stack.pop()
+    return "".join(parts)
 
 
 def parse_bytes(data: bytes, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
