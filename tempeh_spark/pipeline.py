@@ -167,9 +167,10 @@ def run_extraction_job(
         F.sum("bytes").alias("bytes"),
         F.sum("errors").alias("errors"),
     ).first()
-    metrics.write.mode("overwrite").parquet(
-        output.rstrip("/") + "_metrics" if not is_table else output + "_metrics"
-    )
+    if is_table:
+        metrics.write.mode("overwrite").saveAsTable(output + "_metrics")
+    else:
+        metrics.write.mode("overwrite").parquet(output.rstrip("/") + "_metrics")
     return {
         "rows": rollup["rows"],
         "bytes": rollup["bytes"],
