@@ -17,11 +17,14 @@ against golden outputs captured by executing the reference itself — see
 tests/goldens/).
 """
 
+from tempeh_spark.api import HTMLParseHandle, HTMLParser
 from tempeh_spark.options import ParserOptions
 from tempeh_spark.parser import parse_bytes, parse_string
 from tempeh_spark.udf import PARSED_SCHEMA, make_parse_udf, parse_html
 
 __all__ = [
+    "HTMLParser",
+    "HTMLParseHandle",
     "ParserOptions",
     "parse_bytes",
     "parse_string",
