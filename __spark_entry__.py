@@ -261,6 +261,42 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempeh_spark.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempeh_spark.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _docs(spark, sf_dir), num_perm=4, ngram=8, max_chars=300
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("k").cast("long").alias("k"),
+        "mh",
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only: deterministic md5-derived
+    hyperplanes are not practical to replicate in SQL)."""
+    from tempeh_spark.similarity import lsh_bucket_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("nbr_id").cast("long").alias("nbr_id"),
+        "cosine",
+    )
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import (
         fingerprint,
@@ -464,7 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -590,6 +629,51 @@ JOIN shingled sa ON sa.doc_id = c.id_a
 JOIN shingled sb ON sb.doc_id = c.id_b
 WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.3
+"""
+
+
+def _oracle_minhash_signatures() -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+u AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+crossed AS (SELECT doc_id, g, unnest([0, 1, 2, 3]) AS k FROM u)
+SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS k,
+       min(md5('p' || k || ':' || g)) AS mh
+FROM crossed GROUP BY 1, 2
+"""
+
+
+def _simhash_cte() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split({NORM_SQL.format(c='text')}, ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+),
+sh AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM votes)
+"""
+
+
+def _oracle_simhash_pairs() -> str:
+    return f"""
+WITH {_simhash_cte().strip()},
+b AS (SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM sh)
+SELECT a.doc_id::BIGINT AS id_a, c.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+FROM b a JOIN b c ON (a.hi = c.hi OR a.lo = c.lo) AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
 """
 
 
@@ -747,7 +831,10 @@ FROM documents GROUP BY 1
 """,
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_lsh": _oracle_minhash_lsh(),
+        "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
+        "simhash_pairs": _oracle_simhash_pairs(),
+        # lsh_topk: rows-only (md5-derived hyperplanes impractical in SQL)
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),

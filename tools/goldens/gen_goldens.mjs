@@ -231,6 +231,18 @@ const BYTE_CASES = {
     Buffer.from([0xff, 0xfe]),
     Buffer.from("<p>\x00", "latin1"),
   ]),
+  // fuzz-discovered divergence inputs (both fixed; pinned forever):
+  // oversized code point from 4-byte raw math -> raw RangeError abort
+  oversized_cp: Buffer.from([0xf5, 0x01, 0x01, 0x01]),
+  // oversized cp buffered but never built + invalid lead byte after ->
+  // the lead-byte error wins (text is not flushed on ERROR terminators)
+  oversized_then_badlead: Buffer.from([0xf5, 0x01, 0x01, 0x01, 0x80]),
+  // oversized cp inside skipped closing-tag junk: parses fine
+  oversized_in_skip: Buffer.concat([
+    Buffer.from("<div>a</div"),
+    Buffer.from([0x20, 0xf5, 0x01, 0x01, 0x01]),
+    Buffer.from(">b"),
+  ]),
 };
 
 function buildCaseList() {
