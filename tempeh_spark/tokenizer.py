@@ -78,6 +78,21 @@ _ATTRNAME_END_RX = re.compile(f"[=>/'\"{WS_CHARS}]")
 # unquoted values: everything except whitespace ' " > <  (lexerUtils.js:217-223)
 _UNQUOTED_END_RX = re.compile(f"['\"<>{WS_CHARS}]")
 
+# One C-level match per attribute: name, optionally '=' + (escape-aware
+# quoted | unquoted) value. The quoted alternations implement the backslash
+# rule exactly (an escaped quote cannot close); DOTALL so '\\.' crosses
+# newlines. An unterminated quoted value matches nothing after '=' — the
+# caller detects that case and consumes to EOF like the reference.
+_ATTR_FULL_RX = re.compile(
+    f"([^=>/'\"{WS_CHARS}]+)"
+    f"(?:=("
+    f"'(?:[^'\\\\]|\\\\.)*'"
+    f"|\"(?:[^\"\\\\]|\\\\.)*\""
+    f"|[^'\"<>{WS_CHARS}]+"
+    f"))?",
+    re.S,
+)
+
 _NONWS_RX = re.compile(f"[^{WS_CHARS}]")
 
 # rawtext "interesting" chars: quotes (+ backtick for script), backslash, '<'
@@ -317,44 +332,37 @@ def _lex_attribute(d: _Doc, tokens: list, p: int) -> int:
     n = d.n
     emit = tokens.append
 
-    m_end = _ATTRNAME_END_RX.search(s, p)
-    if m_end is None:
-        return -1  # EOF mid-name: no token (terminator returned instead)
-    q = m_end.start()
+    m = _ATTR_FULL_RX.match(s, p)
+    q = m.end(1)
+    has_value = m.lastindex == 2
+    if m.end() == n and not has_value:
+        # name chars run to EOF: the terminator is returned instead of an
+        # ATTRIBUTE_NAME token (readOpeningTagAttributeName, lexer.js:947-955)
+        return -1
     al, ac = d.pos(p)
     emit((ATTR_NAME, d.val(p, q), al, ac))
 
-    if s[q] != "=":  # boolean attribute: terminator is re-processed
-        return q
+    if has_value:
+        a, b = m.start(2), m.end(2)
+        vch = s[a]
+        vl, vc = d.pos(a)
+        if vch == "'" or vch == '"':
+            emit((ATTR_VALUE, _unescape_quoted(d, a + 1, b - 1), vl, vc))
+            return b  # after the closing quote (which never re-triggers)
+        if b >= n:
+            return -1  # EOF mid-unquoted-value: value token never emitted
+        emit((ATTR_VALUE, d.val(a, b), vl, vc))
+        return b
 
-    r = q + 1
-    if r >= n:
-        return -1  # EOF where the value should start
-    vch = s[r]
-    if vch == "'" or vch == '"':
-        # quoted value: startLine/Col = the opening quote (lexer.js:1022-1027)
-        vl, vc = d.pos(r)
-        jj = s.find(vch, r + 1)
-        while jj >= 0 and _bs_parity(s, jj, r):
-            jj = s.find(vch, jj + 1)
-        if jj < 0:
-            return -1  # unterminated quoted value: EOF
-        emit((ATTR_VALUE, _unescape_quoted(d, r + 1, jj), vl, vc))
-        return jj  # closing quote is re-pulled by the tag loop and skipped
-    mm = _UNQUOTED_END_RX.match(s, r)
-    if mm is None:
-        # legal unquoted first char: read the run
-        m2 = _UNQUOTED_END_RX.search(s, r)
-        end = m2.start() if m2 else n
-        if end >= n:
-            return -1  # EOF mid-value: value token never emitted
-        vl, vc = d.pos(r)
-        emit((ATTR_VALUE, d.val(r, end), vl, vc))
-        return end
-    # '>' / '<' / whitespace / quote right after '=': no value; the char is
-    # re-processed by the tag loop (quotes were handled above, so this is
-    # whitespace, '<' or '>').
-    return r
+    # no value matched: boolean attribute, '=' + non-value char, or an
+    # unterminated quoted value (reference consumes it to EOF)
+    if s[q] == "=":
+        r = q + 1
+        if r >= n:
+            return -1  # EOF where the value would start
+        if s[r] == "'" or s[r] == '"':
+            return -1  # unterminated quoted value: swallowed to EOF
+    return q  # terminator (or the '=') is re-processed by the tag loop
 
 
 def _unescape_quoted(d: _Doc, a: int, b: int) -> str:

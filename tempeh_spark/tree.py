@@ -126,6 +126,11 @@ def _consume_element(tokens: list, i: int, stack: list, cur: list, casing: str) 
     ``stack``/``cur``; returns the next token index."""
     typ, val, l, c = tokens[i]
     tag = _case(val, casing)
+    # reference bug replicated for byte-exact errors: an ERROR token consumed
+    # inside the element loop aborts with the OPENING_TAGNAME token's value
+    # and position, not the error's (parseTemplate.js:157-166 interpolates
+    # the outer `token`, verified by differential fuzzing)
+    open_val, open_l, open_c = val, l, c
     node: dict = {"tagName": tag, "l": l, "c": c}
     attrs: list | None = None
     i += 1
@@ -158,7 +163,9 @@ def _consume_element(tokens: list, i: int, stack: list, cur: list, casing: str) 
             # unterminated opening tag: element dropped entirely
             return ntok
         elif typ == ERROR:
-            raise ParseError(f"Tempeh parsing error: {val} at {l}:{c}")
+            raise ParseError(
+                f"Tempeh parsing error: {open_val} at {open_l}:{open_c}"
+            )
         else:
             raise ParseError(
                 f"Tempeh parsing error: Encountered unexpected token type {typ} at {l}:{c}"

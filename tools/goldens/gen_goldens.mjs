@@ -243,6 +243,14 @@ const BYTE_CASES = {
     Buffer.from([0x20, 0xf5, 0x01, 0x01, 0x01]),
     Buffer.from(">b"),
   ]),
+  // decode error inside an element's attribute loop: the reference's abort
+  // message interpolates the OPENING_TAGNAME token (parseTemplate.js:157-166
+  // uses the outer `token` variable) — bug replicated for byte-exactness
+  badlead_in_tag: Buffer.concat([Buffer.from("<A\x01"), Buffer.from([0x80])]),
+  badlead_in_attr_value: Buffer.concat([
+    Buffer.from('<div class="x'),
+    Buffer.from([0xfe]),
+  ]),
 };
 
 function buildCaseList() {
