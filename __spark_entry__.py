@@ -205,6 +205,7 @@ def q_parse_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_html(_fixture_pages_df(spark)).select(
         "url",
         F.md5(F.encode(F.col("parsed.main_text"), "UTF-8")).alias("main_md5"),
+        F.col("parsed.title").alias("title"),
         F.size(F.col("parsed.spans")).cast("long").alias("n_spans"),
     )
 
@@ -559,8 +560,8 @@ def _oracle_parse_casing_upper() -> str:
 def _oracle_parse_main_text() -> str:
     rows = []
     for url, r in sorted(_local_parse_results().items()):
-        rows.append((url, _md5(r.main_text), len(r.extraction.spans)))
-    return _values_sql(rows, ["url", "main_md5", "n_spans"])
+        rows.append((url, _md5(r.main_text), r.extraction.title, len(r.extraction.spans)))
+    return _values_sql(rows, ["url", "main_md5", "title", "n_spans"])
 
 
 def _oracle_corpus_rollup() -> str:

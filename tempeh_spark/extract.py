@@ -53,6 +53,7 @@ class Extraction:
     n_comments: int
     n_attrs: int
     max_depth: int
+    title: str = ""  # first <title> element's text, whitespace-collapsed
 
 
 def _collapse_ws(s: str) -> str:
@@ -67,6 +68,17 @@ def extract_all(nodes: list | None) -> Extraction:
     spans: list = []
     n_nodes = n_elements = n_text = n_comments = n_attrs = 0
     max_depth = 0
+    title = ""
+
+    def subtree_text(el: dict) -> str:
+        parts: list[str] = []
+        st = list(reversed(el.get("children", [])))
+        while st:
+            x = st.pop()
+            if "textContent" in x:
+                parts.append(x["textContent"])
+            st.extend(reversed(x.get("children", [])))
+        return _collapse_ws("".join(parts))
 
     # main-content block accumulation
     blocks: list[str] = []
@@ -139,6 +151,8 @@ def extract_all(nodes: list | None) -> Extraction:
             if attrs:
                 n_attrs += len(attrs)
             lower = tag.lower()
+            if not title and lower == "title":
+                title = subtree_text(nd)  # titles are tiny; direct mini-walk
             child_noncontent = noncontent or lower in NON_CONTENT_TAGS
             child_in_link = in_link or lower == "a"
             is_block = lower in BLOCK_TAGS
@@ -185,5 +199,6 @@ def extract_all(nodes: list | None) -> Extraction:
         n_comments=n_comments,
         n_attrs=n_attrs,
         max_depth=max_depth,
+        title=title,
     )
 

@@ -94,6 +94,7 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         .alias("error"),
         F.col("parsed.text").alias("text"),
         F.col("parsed.main_text").alias("main_text"),
+        F.col("parsed.title").alias("title"),
         F.col("parsed.spans").alias("spans"),
         F.col("parsed.encoding").alias("encoding"),
         F.col("parsed.n_tokens").alias("n_tokens"),

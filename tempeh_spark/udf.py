@@ -48,6 +48,7 @@ PARSED_SCHEMA = StructType(
     [
         StructField("text", StringType()),
         StructField("main_text", StringType()),
+        StructField("title", StringType()),
         StructField("nodes_json", StringType()),
         StructField("spans", ArrayType(SPAN_SCHEMA)),
         StructField("error", StringType()),
@@ -94,7 +95,7 @@ def parse_batch(
     for data in html:
         if data is None:
             rows.append(
-                (None, None, None, None, "null html", None, 0, 0, 0, 0, 0, 0, 0, 0)
+                (None, None, None, None, None, "null html", None, 0, 0, 0, 0, 0, 0, 0, 0)
             )
             continue
         b = bytes(data)
@@ -105,6 +106,7 @@ def parse_batch(
             (
                 _sanitize(ex.text) if ok and with_text else None,
                 _sanitize(ex.main_text) if ok and with_text else None,
+                _sanitize(ex.title) if ok and with_text else None,
                 _sanitize(r.nodes_json()) if ok and with_nodes_json else None,
                 [
                     {"dom_path": p, "l": l, "c": c, "text": _sanitize(t)}
