@@ -158,17 +158,38 @@ def decode_html_bytes(data: bytes, sniff_bom: bool = True) -> DecodeResult:
         return DecodeResult(r.text, r.has_surrogates, r.error, encoding, r.oversized)
 
     body = data[offset:]
-    if encoding in (ENC_UTF16_LE, ENC_UTF16_BE):
-        # The reference indexes its DataView 2 bytes at a time; an odd tail
-        # byte reads stale buffer memory there — we refuse to emulate
-        # undefined behavior and drop the dangling byte instead.
-        body = body[: len(body) - (len(body) % 2)]
+    unit_size = 2 if encoding in (ENC_UTF16_LE, ENC_UTF16_BE) else 4
+    tail = len(body) % unit_size
+    dangling: int | None = None
+    if tail:
+        # The reference indexes its 256-byte read buffer with getUint16/32,
+        # so a partial trailing unit reads past the payload into whatever
+        # the buffer holds at those positions: zeros for files < 256 bytes
+        # (fresh ArrayBuffer), otherwise the PREVIOUS 256-byte chunk's bytes
+        # at the same buffer offsets (lexer.js:100, 147, 162-173 — the
+        # buffer is reused across reads). Deterministic, and pinned by
+        # executed goldens/differential fuzz; emulated exactly here.
+        L = len(data)
+        n_last = L % 256  # bytes in the final (partial) chunk
+        k_last = L // 256  # index of that chunk; >0 means a prior full chunk
+        raw = bytearray(data[L - tail :])
+        for j in range(tail, unit_size):
+            pos_in_buf = n_last - tail + j
+            if k_last >= 1:
+                raw.append(data[(k_last - 1) * 256 + pos_in_buf])
+            else:
+                raw.append(0)
+        little = encoding in (ENC_UTF16_LE, ENC_UTF32_LE)
+        dangling = int.from_bytes(raw, "little" if little else "big")
+        body = body[: len(body) - tail]
+    if unit_size == 2:
         dt = "<u2" if encoding == ENC_UTF16_LE else ">u2"
         units = np.frombuffer(body, dtype=dt)
     else:
-        body = body[: len(body) - (len(body) % 4)]
         dt = "<u4" if encoding == ENC_UTF32_LE else ">u4"
         units = np.frombuffer(body, dtype=dt)
+    if dangling is not None:
+        units = np.concatenate([units.astype(np.uint32), [np.uint32(dangling) & 0xFFFFFFFF]])
 
     # Zero code unit == EOF truncation, same as the UTF-8 NUL rule.
     zeros = np.flatnonzero(units == 0)

@@ -73,11 +73,6 @@ _TAGNAME_CLASS = "A-Za-z1-9\\-.:_" + _PCEN_CLASS
 _TAGNAME_END_RX = re.compile(f"[^{_TAGNAME_CLASS}]")
 _NOT_TAGNAME_RX = _TAGNAME_END_RX  # alias: match == char is NOT a name char
 
-# attribute names: everything except = > / whitespace ' "  (lexerUtils.js:204-211)
-_ATTRNAME_END_RX = re.compile(f"[=>/'\"{WS_CHARS}]")
-# unquoted values: everything except whitespace ' " > <  (lexerUtils.js:217-223)
-_UNQUOTED_END_RX = re.compile(f"['\"<>{WS_CHARS}]")
-
 # One C-level match per attribute: name, optionally '=' + (escape-aware
 # quoted | unquoted) value. The quoted alternations implement the backslash
 # rule exactly (an escaped quote cannot close); DOTALL so '\\.' crosses
