@@ -251,6 +251,26 @@ const BYTE_CASES = {
     Buffer.from('<div class="x'),
     Buffer.from([0xfe]),
   ]),
+  // partial trailing code units: the reference's DataView reads past the
+  // payload into deterministic buffer bytes (zeros < 256 B; previous-chunk
+  // bytes above). Pins the buffer-emulation in chardecode.
+  utf16be_odd_tail: Buffer.from([0xfe, 0xff, 0x00, 0x01, 0x00, 0x01, 0x01]),
+  utf16le_odd_tail: Buffer.from([0xff, 0xfe, 0x61, 0x00, 0x62]),
+  utf32le_tail2: Buffer.concat([
+    Buffer.from([0xff, 0xfe, 0x00, 0x00]),
+    Buffer.from([0x61, 0x00, 0x00, 0x00, 0x62, 0x00]),
+  ]),
+  utf16le_big_odd_tail: (() => {
+    // > 256 bytes so the dangling read hits the PREVIOUS chunk's byte
+    const units = [];
+    for (let i = 0; i < 140; i++) units.push(0x61 + (i % 20)); // 280 payload bytes
+    const buf = Buffer.alloc(2 + units.length * 2 + 1);
+    buf[0] = 0xff;
+    buf[1] = 0xfe;
+    units.forEach((u, i) => buf.writeUInt16LE(u, 2 + i * 2));
+    buf[buf.length - 1] = 0x7a; // dangling 'z' low byte
+    return buf;
+  })(),
 };
 
 function buildCaseList() {
