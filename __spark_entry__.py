@@ -616,6 +616,7 @@ sigs AS (
   SELECT doc_id, sh,
          {mh_cols}
   FROM shingled
+  WHERE len(sh) > 0
 ),
 banded AS ({bands}),
 cand AS (
@@ -668,12 +669,14 @@ sh AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM votes)
 
 
 def _oracle_simhash_pairs() -> str:
+    """FULL-PAIR ground truth — no bucket restriction. The Spark operator's
+    banded equi-join must reproduce this exactly, so the gate checks the
+    candidate-generation recall for real (not a tautology)."""
     return f"""
-WITH {_simhash_cte().strip()},
-b AS (SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM sh)
+WITH {_simhash_cte().strip()}
 SELECT a.doc_id::BIGINT AS id_a, c.doc_id::BIGINT AS id_b,
        bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
-FROM b a JOIN b c ON (a.hi = c.hi OR a.lo = c.lo) AND a.doc_id < c.doc_id
+FROM sh a JOIN sh c ON a.doc_id < c.doc_id
 WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
 """
 
@@ -754,10 +757,10 @@ FROM documents
 def _oracle_bottomk_sketch() -> str:
     return f"""
 SELECT doc_id::BIGINT AS doc_id,
-       array_to_string(list_sort(list_transform(
+       coalesce(array_to_string(list_sort(list_transform(
          list_distinct(list_transform(
            generate_series(1, greatest(len(t) - 3, 0)), i -> substring(t, i, 4))),
-         g -> md5(g)))[1:8], '') AS sketch
+         g -> md5(g)))[1:8], ''), '') AS sketch
 FROM (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents)
 """
 

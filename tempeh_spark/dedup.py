@@ -78,12 +78,15 @@ def shingle_rows(
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
     base = _spread(df, id_col).select(F.col(id_col).alias("id"), norm.alias("t"))
-    pos = base.select(
+    # Docs shorter than ngram yield NO shingles. Without this filter,
+    # sequence(1, len-n+1) for len < n is sequence(1, 0) == [1, 0]
+    # (Spark sequences run DESCENDING when end < start), fabricating a
+    # partial-text shingle ('' for empty docs) — and diverging from SQL
+    # engines where generate_series(1, 0) is empty.
+    pos = base.where(F.length("t") >= ngram).select(
         "id",
         "t",
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (ngram - 1), F.lit(0)))).alias(
-            "i"
-        ),
+        F.explode(F.sequence(F.lit(1), F.length("t") - (ngram - 1))).alias("i"),
     )
     return pos.select("id", F.expr(f"substring(t, i, {ngram})").alias("g")).distinct()
 
@@ -96,11 +99,16 @@ def char_shingles(
     norm = normalize_text(text_col)
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (ngram - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(norm) - (ngram - 1)),
             lambda i: F.substring(norm, i, ngram),
         )
+    )
+    # short docs get an EMPTY shingle set (Spark sequences run descending
+    # when end < start, which would fabricate a partial-text shingle)
+    return F.when(F.length(norm) >= ngram, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
     )
 
 
@@ -111,14 +119,27 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     max_chars: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shared-shingle equi-join.
 
     shuffle 1: shingle distinct; shuffle 2: self-join on shingle
     (co-partitioned); shuffle 3: groupBy pair -> intersection size; union
     from per-doc shingle counts.
-    """
+
+    ``max_df`` bounds the self-join blowup: a shingle shared by m docs
+    yields m^2 join rows, so one stop-word-grade shingle detonates the join
+    long before the LSH path would struggle. With ``max_df`` set, shingles
+    whose document frequency exceeds it are dropped from the shingle sets
+    entirely (counts AND intersections — jaccard is then computed over the
+    df<=max_df shingle subspace, a standard dedup approximation). Leave
+    ``None`` only for verifier-sized corpora."""
     sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("g").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        ).select("g")
+        sh = sh.join(rare, on="g", how="left_semi")
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,6 +164,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    ngram: int = 3,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Wide minhash signature: (id, mh0..mh{k-1}) in ONE hash aggregation
+    over the un-exploded shingle rows — k ``min(md5('p<k>:' || g))``
+    aggregate columns, all md5s inside codegen, fully map-side combinable.
+
+    This is the scale shape: the k-permutation fan-out lives in the
+    aggregate expression list, NOT in the row count, so the agg's shuffle
+    input is the shingle rows themselves (vs. a k-fold exploded copy —
+    ~num_perm x less shuffled data for identical output bytes).
+
+    Hex-string min is a valid permutation min-hash (md5 is the random
+    permutation; lexicographic order on hex = numeric order on the digest),
+    expressible identically in DuckDB for the oracle."""
+    sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"p{k}:"), F.col("g")), "UTF-8"))
+        ).alias(f"mh{k}")
+        for k in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -151,28 +202,18 @@ def minhash_signatures(
     ngram: int = 3,
     max_chars: int | None = None,
 ) -> DataFrame:
-    """Per-(doc, permutation) min-hash: min over shingles of
-    md5('p<k>:' || shingle). Returns (id, k, mh).
-
-    Hex-string min is a valid permutation min-hash (md5 is the random
-    permutation; lexicographic order on hex = numeric order on the digest),
-    and is expressible identically in DuckDB for the oracle. Shape: shingle
-    rows crossed with permutation ids, md5 inside codegen, min as a
-    map-side-combinable hash aggregation."""
-    sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
-    crossed = sh.select(
-        "id", "g", F.explode(F.array(*[F.lit(k) for k in range(num_perm)])).alias("k")
+    """Tall form (id, k, mh) of ``minhash_signatures_wide`` — the per-doc
+    unpivot explode is num_perm rows per doc AFTER aggregation, not before."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, ngram, max_chars)
+    kms = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"mh{k}").alias("mh"))
+            for k in range(num_perm)
+        ]
     )
-    hashed = crossed.select(
-        "id",
-        "k",
-        F.md5(
-            F.encode(
-                F.concat(F.lit("p"), F.col("k").cast("string"), F.lit(":"), F.col("g")), "UTF-8"
-            )
-        ).alias("h"),
+    return wide.select("id", F.explode(kms).alias("km")).select(
+        "id", F.col("km.k").alias("k"), F.col("km.mh").alias("mh")
     )
-    return hashed.groupBy("id", "k").agg(F.min("h").alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -193,18 +234,20 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
-    mins = minhash_signatures(df, id_col, text_col, num_perm, ngram, max_chars)
-    banded = (
-        mins.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda x: x["mh"]
-                ),
-                "|",
-            ).alias("sig")
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, ngram, max_chars)
+    # band signatures straight off the wide columns: one explode of a
+    # bands-long array per doc — no second groupBy/collect_list shuffle
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
+            ).alias("sig"),
         )
+        for b in range(bands)
+    ]
+    banded = wide.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
     a = banded.alias("a")
@@ -250,19 +293,22 @@ def simhash16_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, simhash) via the scale shape: explode tokens -> codegen md5 ->
-    one hash-agg with 16 bit-vote sums (map-side combinable). Documents with
-    zero tokens get simhash 0 (no positive votes -> no bit set)."""
+    one hash-agg with 16 bit-vote sums (map-side combinable).
+
+    Semantics: documents with ZERO tokens (empty/whitespace-only text) are
+    DROPPED — a plain explode, matching the SQL-twin's ``unnest`` of an
+    empty list. (Emitting simhash 0 for them would also cluster every empty
+    doc into one giant hamming-0 bucket downstream, the wrong dedup answer.)
+    """
     base = _spread(df, id_col)
     norm = normalize_text(text_col)
     toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
-    exploded = base.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok"))
+    exploded = base.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     hv = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 4), 16, 10).cast("int")
     hashed = exploded.select("id", hv.alias("hv"))
     votes = [
         F.sum(
-            F.when(F.col("hv").isNull(), 0)
-            .when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(16)
     ]
@@ -297,30 +343,75 @@ def simhash16(text_col: str = "text") -> Column:
     return total
 
 
+def _band_ranges(bits: int, bands: int) -> list[tuple[int, int]]:
+    """Split `bits` into `bands` contiguous (start, width) ranges, widths as
+    even as possible (the leading `bits % bands` bands get one extra bit)."""
+    base, extra = divmod(bits, bands)
+    out, start = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Self-join is bucketed by
-    the high byte of the simhash to avoid a full cross join at scale (docs
-    within hamming<=3 of each other usually share the high byte; exactness
-    is restored by also joining on the low-byte bucket — two-probe LSH)."""
+    """EXACT near-dup pairs by SimHash hamming distance, with a scale-safe
+    plan: candidates come from a banded equi-join, never an all-pairs scan.
+
+    The 16-bit simhash is split into ``bands`` contiguous bit-bands
+    (default ``max_hamming + 1``). Pigeonhole: a pair with hamming <=
+    max_hamming has fewer differing bits than bands, so AT LEAST ONE band is
+    bit-identical — joining on ``(band, band_bits)`` therefore has perfect
+    recall for the exact hamming filter applied after. Output == the full
+    O(n^2) pair scan, but the executed plan is a shuffled equi-join whose
+    cost is bounded by per-bucket sizes (the DuckDB oracle computes the
+    unrestricted full-pair ground truth, so the gate checks recall for real).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 16:
+        raise ValueError("bands must be in [1, 16]")
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need >= {max_hamming + 1} bands (pigeonhole)"
+        )
     sh = simhash16_table(df, id_col, text_col)
-    sh = sh.withColumn("hi", F.shiftright("simhash", 8)).withColumn(
-        "lo", F.col("simhash").bitwiseAND(F.lit(255))
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = a.join(
-        b,
-        ((F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo")))
-        & (F.col("a.id") < F.col("b.id")),
-    )
+    probes = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright("simhash", start).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        )
+        for band, (start, width) in enumerate(_band_ranges(16, bands))
+    ]
+    banded = sh.select(
+        "id", "simhash", F.explode(F.array(*probes)).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long"))
-    return joined.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        ham.alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def embedding_near_pairs(

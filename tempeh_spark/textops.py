@@ -115,9 +115,14 @@ def bottomk_shingle_sketch(col: Column | str = "text", k: int = 8, ngram: int = 
     norm = normalize_text(c)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (ngram - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(norm) - (ngram - 1)),
             lambda i: F.substring(norm, i, ngram),
         )
+    )
+    # short docs sketch to '' — Spark sequence(1, end<1) runs DESCENDING and
+    # would otherwise fabricate a partial-text shingle no SQL engine emits
+    grams = F.when(F.length(norm) >= ngram, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
     )
     hashes = F.array_sort(F.transform(grams, lambda g: F.md5(F.encode(g, "UTF-8"))))
     return F.array_join(F.slice(hashes, 1, k), "")

@@ -52,7 +52,7 @@ def test_simhash_consistency(spark, docs):
     sh = {r["id"]: r["simhash"] for r in simhash16_table(docs).collect()}
     assert sh[1] == sh[2]  # identical text -> identical simhash
     assert 0 <= sh[1] < 2**16
-    assert sh[6] == 0  # empty doc
+    assert 6 not in sh  # zero-token docs are dropped (matches the SQL twin)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
     assert pairs[(1, 2)] == 0
 

@@ -1,0 +1,122 @@
+"""Spark-vs-DuckDB differential twins on a constructed corpus containing the
+pathological rows the driver's sf corpora happen to lack: empty documents,
+whitespace-only documents, and documents shorter than the shingle ngram.
+
+Guards the ADVICE-r01 divergences (Spark's descending sequence(1,0)
+fabricating shingles for short docs; explode_outer emitting simhash rows for
+zero-token docs) and the simhash_pairs full-pair recall contract (the oracle
+computes the UNRESTRICTED pair space — the banded equi-join must match it).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (3, "the quick brown fox jumped over the lazy dog and ran far away"),
+    (4, "completely different content about databases, queries and planners"),
+    (5, ""),  # empty
+    (6, "   \t  \n "),  # whitespace-only -> normalizes to ''
+    (7, "short"),  # shorter than the gate's ngram=8
+    (8, "tiny"),
+    (9, "ok doc"),
+    (10, "exactly8"),  # exactly ngram chars -> one shingle
+]
+
+TWINNED = [
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "minhash_signatures",
+    "simhash",
+    "simhash_pairs",
+    "bottomk_sketch",
+    "text_analysis",
+]
+
+
+@pytest.fixture(scope="module")
+def sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("twindata")
+    spark.createDataFrame(DOCS, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", TWINNED)
+def test_twin_on_short_doc_corpus(spark, sf_dir, name):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    rel = con.sql(entry.oracle_sql()[name])
+    ocols = [c.lower() for c in rel.columns]
+    orows = rel.fetchall()
+
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"rowcount spark={len(srows)} duck={len(orows)}"
+    assert _canon(srows, scols) == _canon(orows, ocols)
+
+
+def test_simhash_pairs_plan_is_shuffled_equi_join(spark, sf_dir):
+    """The scale contract: candidate generation is a banded equi-join —
+    never a BroadcastNestedLoopJoin or cartesian product."""
+    from tempeh_spark.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = simhash_near_pairs(docs, max_hamming=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_bands_guardrail(spark, sf_dir):
+    from tempeh_spark.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=6, bands=4)
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """With max_df set, a shingle shared by every doc stops generating join
+    rows; pairs driven only by rare shingles survive."""
+    from tempeh_spark.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "aaaa bbbb"),
+        (2, "aaaa cccc"),
+        (3, "aaaa dddd"),
+        (4, "aaaa bbbb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, ngram=4, threshold=0.01)
+    capped = ngram_jaccard_pairs(docs, ngram=4, threshold=0.01, max_df=2)
+    upairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (1, 2) in upairs  # shares only the hot 'aaaa' shingles
+    assert (1, 2) not in cpairs  # hot shingles capped away
+    assert cpairs[(1, 4)] == 1.0  # exact dup still found via rare shingles
