@@ -285,16 +285,77 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (rows-only: deterministic md5-derived
-    hyperplanes are not practical to replicate in SQL)."""
+    """Hyperplane-LSH bucketed ANN (8 bands x 3 planes — multi-band probing
+    sized for this corpus's wide-angle neighbors). The oracle replicates the
+    md5-derived hyperplanes as literal DOUBLE lists in SQL: a true twin."""
     from tempeh_spark.similarity import lsh_bucket_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=10).select(
+    return lsh_bucket_topk(
+        emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, n_planes=3, n_bands=8
+    ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("nbr_id").cast("long").alias("nbr_id"),
         "cosine",
+    )
+
+
+def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup pairs: banded hyperplane-LSH candidates + exact
+    cosine verify. Gate instance uses 16 bands x 2 planes because the gate
+    corpus's near pairs sit at cosine 0.30-0.60 (wide angles need
+    low-selectivity bands); recall vs the exact pair set is measured by
+    ann_recall."""
+    from tempeh_spark.similarity import embedding_lsh_near_pairs
+
+    return embedding_lsh_near_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.30, n_bands=16, planes_per_band=2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gates for every approximate path, measured against the exact
+    ground truth computed independently by BOTH engines: ivf/lsh top-k vs
+    brute top-k, and LSH near-pairs vs the exact cosine pair set."""
+    from tempeh_spark.dedup import embedding_near_pairs
+    from tempeh_spark.similarity import (
+        brute_topk,
+        embedding_lsh_near_pairs,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    brute = brute_topk(emb, q, k=10).select("query_id", "nbr_id")
+    ivf = ivf_topk(emb, q, k=10).select("query_id", "nbr_id")
+    lsh = lsh_bucket_topk(emb, q, dim=64, k=10, n_planes=3, n_bands=8).select(
+        "query_id", "nbr_id"
+    )
+    exact = embedding_near_pairs(emb, threshold=0.30).select("id_a", "id_b")
+    lshp = embedding_lsh_near_pairs(
+        emb, dim=64, threshold=0.30, n_bands=16, planes_per_band=2
+    ).select("id_a", "id_b")
+
+    def one(method: str, cand: DataFrame, truth: DataFrame, keys: list[str]) -> DataFrame:
+        hits = cand.join(truth, keys, "inner").agg(F.count("*").alias("n_hits"))
+        true = truth.agg(F.count("*").alias("n_true"))
+        return hits.crossJoin(true).select(
+            F.lit(method).alias("method"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.round(F.col("n_hits") / F.col("n_true"), 4).alias("recall"),
+        )
+
+    return (
+        one("ivf_topk", ivf, brute, ["query_id", "nbr_id"])
+        .unionByName(one("lsh_topk", lsh, brute, ["query_id", "nbr_id"]))
+        .unionByName(one("lsh_pairs", lshp, exact, ["id_a", "id_b"]))
     )
 
 
@@ -510,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "brute_topk": q_brute_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "ann_recall": q_ann_recall,
         "hourly_events": q_hourly_events,
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
@@ -800,6 +863,145 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _bucket_sql(vec_expr: str, dim: int, n_planes: int, plane_offset: int = 0) -> str:
+    """DuckDB twin of similarity.lsh_signature: the md5-derived hyperplanes
+    are deterministic Python constants, so the oracle embeds them as literal
+    DOUBLE lists — bit b = sign(dot(vec, plane_{offset+b})), same products
+    summed in the same order as Spark's zip_with/aggregate fold."""
+    from tempeh_spark.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(x) for x in _hyperplane(dim, plane_offset + p)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_ctes(n_planes: int = 3, n_bands: int = 8) -> str:
+    """Banded multi-probe topk CTEs (assumes CTE ``e`` is in scope): twin of
+    similarity.lsh_bucket_topk at the gate parameters."""
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band, "
+        f"{_bucket_sql('v', 64, n_planes, b * n_planes)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+tprobe AS ({band_selects}),
+tcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+  FROM tprobe q JOIN tprobe c ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+tranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM (
+    SELECT query_id, nbr_id,
+           round(list_dot_product(ea.v, eb.v) /
+                 (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+    FROM tcand JOIN e ea ON ea.vec_id = query_id JOIN e eb ON eb.vec_id = nbr_id
+  )
+)"""
+
+
+def _oracle_lsh_topk() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+{_lsh_topk_ctes().strip()}
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, nbr_id::BIGINT AS nbr_id, cosine
+FROM tranked WHERE rank <= 10
+"""
+
+
+def _lsh_pairs_ctes(threshold: float = 0.30, n_bands: int = 16, planes_per_band: int = 2) -> str:
+    """Shared CTE block: e (double vectors), probe (banded signatures),
+    lsh_pairs (candidates + exact-cosine verify). Twin of
+    similarity.embedding_lsh_near_pairs at the gate parameters."""
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band, "
+        f"{_bucket_sql('v', 64, planes_per_band, b * planes_per_band)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+probe AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probe a JOIN probe b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+lsh_pairs AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+  WHERE round(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= {threshold}
+)"""
+
+
+def _oracle_embedding_lsh_neardup() -> str:
+    return f"""
+WITH {_lsh_pairs_ctes().strip()}
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM lsh_pairs
+"""
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+WITH {_lsh_pairs_ctes().strip()},
+{_lsh_topk_ctes().strip()},
+q AS (SELECT * FROM e WHERE vec_id < 5),
+brute AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.v, e.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+             e.vec_id ASC) AS rank
+    FROM q JOIN e ON q.vec_id <> e.vec_id
+  ) WHERE rank <= 10
+),
+el AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+ivf AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) DESC,
+             c.vec_id ASC) AS rank
+    FROM el q JOIN el c ON q.label = c.label AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+),
+lsh_topk AS (SELECT query_id, nbr_id FROM tranked WHERE rank <= 10),
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.30
+)
+SELECT 'ivf_topk' AS method,
+       (SELECT count(*) FROM ivf JOIN brute USING (query_id, nbr_id))::BIGINT AS n_hits,
+       (SELECT count(*) FROM brute)::BIGINT AS n_true,
+       round((SELECT count(*) FROM ivf JOIN brute USING (query_id, nbr_id))::DOUBLE
+             / (SELECT count(*) FROM brute), 4) AS recall
+UNION ALL
+SELECT 'lsh_topk',
+       (SELECT count(*) FROM lsh_topk JOIN brute USING (query_id, nbr_id))::BIGINT,
+       (SELECT count(*) FROM brute)::BIGINT,
+       round((SELECT count(*) FROM lsh_topk JOIN brute USING (query_id, nbr_id))::DOUBLE
+             / (SELECT count(*) FROM brute), 4)
+UNION ALL
+SELECT 'lsh_pairs',
+       (SELECT count(*) FROM lsh_pairs p JOIN exact_pairs x USING (id_a, id_b))::BIGINT,
+       (SELECT count(*) FROM exact_pairs)::BIGINT,
+       round((SELECT count(*) FROM lsh_pairs p JOIN exact_pairs x USING (id_a, id_b))::DOUBLE
+             / (SELECT count(*) FROM exact_pairs), 4)
+"""
+
+
 def _oracle_ivf_topk() -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -838,7 +1040,9 @@ FROM documents GROUP BY 1
         "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
-        # lsh_topk: rows-only (md5-derived hyperplanes impractical in SQL)
+        "lsh_topk": _oracle_lsh_topk(),
+        "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
+        "ann_recall": _oracle_ann_recall(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),

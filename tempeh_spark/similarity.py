@@ -106,16 +106,90 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def lsh_signature(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit b = sign(dot(vec, plane_b))."""
+def lsh_signature(
+    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane signature: bit b = sign(dot(vec, plane_{offset+b})).
+
+    ``plane_offset`` selects a disjoint plane set, so banded callers get
+    independent hash families per band from the same deterministic stream."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, plane_offset + p)])
         bits.append(F.when(_dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     total = bits[0]
     for b in bits[1:]:
         total = total + b
     return total
+
+
+def embedding_lsh_near_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+) -> DataFrame:
+    """The SCALE PATH for embedding near-duplicate pairs — the embedding
+    analogue of ``dedup.minhash_lsh_pairs``'s candidate/verify split.
+
+    Candidates are pairs sharing a full band signature in ANY of ``n_bands``
+    disjoint hyperplane bands: an equi-join on ``(band, bucket)``, never an
+    all-pairs scan (contrast ``dedup.embedding_near_pairs``, the exact
+    verifier, whose theta-join is all-pairs by design). Verification is
+    exact cosine on the candidates only.
+
+    Recall math (random hyperplanes): a pair at angle theta collides in one
+    band with prob ``(1 - theta/pi) ** planes_per_band``; overall recall is
+    ``1 - (1 - p_band) ** n_bands``. Tune per threshold regime:
+
+    * tight thresholds (>= 0.9, theta <= 26deg): planes_per_band 8+ keeps
+      buckets selective at high recall — the 10^12-scale configuration;
+    * loose thresholds (~0.3): drop to 2-3 planes per band and add bands,
+      trading bucket selectivity for recall (low-threshold LSH is
+      intrinsically unselective — candidates approach all-pairs).
+
+    The per-vector signature cost (n_bands * planes_per_band dot products)
+    is embarrassingly parallel and shuffle-free; the only shuffles are the
+    band equi-join and the final dropDuplicates.
+    """
+    v = _spread(corpus, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_signature(
+                F.col("vec"), dim, planes_per_band, plane_offset=b * planes_per_band
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    probe = v.select("id", "vec", "nrm", F.explode(F.array(*bands)).alias("bk")).select(
+        "id", "vec", "nrm", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a = probe.alias("a")
+    b = probe.alias("b")
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def lsh_bucket_topk(
@@ -124,25 +198,49 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 6,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k within the query's hyperplane-LSH bucket."""
+    """ANN top-k by multi-band hyperplane LSH: candidates are corpus rows
+    sharing the query's bucket in ANY of ``n_bands`` disjoint plane bands
+    (``n_planes`` planes each). Recall for a neighbor at angle theta is
+    ``1 - (1 - (1 - theta/pi)^n_planes)^n_bands`` — add bands to raise
+    recall, add planes to shrink buckets. ``n_bands=1`` is classic
+    single-probe LSH. The query side is broadcast; the corpus side streams
+    through the band equi-join — no corpus shuffle beyond the spread."""
     corpus = _spread(corpus, id_col)
-    sig = lambda col: lsh_signature(col, dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+
+    def banded(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(
+                    F.col(vecname), dim, n_planes, plane_offset=b * n_planes
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+        return df.select(idname, vecname, F.explode(F.array(*bands)).alias("bk")).select(
+            idname, vecname, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+        )
+
+    c = banded(
+        corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")),
+        "nbr_id",
+        "nbr_vec",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+    q = banded(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
     )
-    scored = c.join(F.broadcast(q), on="bucket").where(
-        F.col("query_id") != F.col("nbr_id")
-    ).select(
+    cand = (
+        c.join(F.broadcast(q), on=["band", "bucket"])
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = cand.select(
         "query_id",
         "nbr_id",
         F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
