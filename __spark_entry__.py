@@ -502,12 +502,34 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII magic prefixes keep the gate payloads valid UTF-8, which the DuckDB
+# twin needs (its md5/sha256 are VARCHAR-only). The non-ASCII magics
+# (jpeg/png/mp4ish) are pinned by unit tests instead
+# (tests/test_ops.py::test_multimodal_plumbing).
+_MEDIA_PREFIXES = ["GIF87a", "RIFFxxxxWAVE", "ID3x", "RIFFxxxxAVI ", ""]
+
+
+def _docs_as_media(df: DataFrame) -> DataFrame:
+    """Documents -> binary media payloads with REAL magic-byte headers, so
+    the gate exercises every sniff/kind branch (gif->image, riff-WAVE->
+    audio, ID3->mp3->audio, riff-AVI->video, plain->unknown)."""
+    prefix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_MEDIA_PREFIXES[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(_MEDIA_PREFIXES[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(_MEDIA_PREFIXES[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(_MEDIA_PREFIXES[3]))
+        .otherwise(F.lit(""))
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(prefix, F.col("text")), "UTF-8").alias("media"),
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.multimodal import media_metadata
 
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("media")
-    )
+    media = _docs_as_media(_docs(spark, sf_dir))
     return media_metadata(media).select(
         F.col("media_id").cast("long").alias("media_id"),
         "kind",
@@ -518,12 +540,12 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas plumbing check (no SQL oracle: md5-chained fake decode)."""
+    """mapInPandas feature extraction with a full VALUE oracle: the fake
+    decode's first feature is md5-derived (int32/2^31 - 1, exact in double),
+    reproducible in DuckDB SQL."""
     from tempeh_spark.multimodal import extract_media_features
 
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("media")
-    )
+    media = _docs_as_media(_docs(spark, sf_dir))
     feats = extract_media_features(media, dim=8)
     return feats.select(
         F.col("media_id").cast("long").alias("media_id"),
@@ -1022,6 +1044,66 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# Twin of _docs_as_media + multimodal.sniff_magic/media_kind_col, working on
+# the pre-encode STRING (mstr): the gate payloads are ASCII-prefixed valid
+# UTF-8, so char positions == byte positions for every reachable branch, and
+# DuckDB's VARCHAR-only md5/sha256 hash exactly the bytes Spark hashes.
+# jpeg/png/mp4ish signatures are invalid UTF-8 and cannot occur in mstr.
+_MEDIA_CTE = """
+m AS (
+  SELECT doc_id,
+         (CASE doc_id % 5
+            WHEN 0 THEN 'GIF87a'
+            WHEN 1 THEN 'RIFFxxxxWAVE'
+            WHEN 2 THEN 'ID3x'
+            WHEN 3 THEN 'RIFFxxxxAVI '
+            ELSE '' END) || text AS mstr
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, mstr,
+         CASE WHEN starts_with(mstr, 'GIF8') THEN 'gif'
+              WHEN starts_with(mstr, 'RIFF') THEN 'riff'
+              WHEN starts_with(mstr, 'ID3')  THEN 'mp3'
+              ELSE 'unknown' END AS magic
+  FROM m
+)
+"""
+
+
+def _oracle_media_meta() -> str:
+    return f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT doc_id::BIGINT AS media_id,
+       CASE WHEN magic IN ('jpeg', 'png', 'gif') THEN 'image'
+            WHEN magic = 'mp3' THEN 'audio'
+            WHEN magic = 'riff' THEN
+              CASE substr(mstr, 9, 4) WHEN 'WAVE' THEN 'audio'
+                                      WHEN 'AVI ' THEN 'video'
+                                      ELSE 'unknown' END
+            ELSE 'unknown' END AS kind,
+       octet_length(encode(mstr))::BIGINT AS n_bytes,
+       magic,
+       sha256(mstr) AS sha
+FROM sniffed
+"""
+
+
+def _oracle_media_features() -> str:
+    # f0 = int32(md5(payload[:4096])[0:4]) / 2^31 - 1; every gate doc is
+    # < 4096 bytes (max 577 across sf dirs) so the byte-truncation is a
+    # no-op and md5(mstr) hashes exactly the bytes the UDF hashes
+    return f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT doc_id::BIGINT AS media_id,
+       octet_length(encode(mstr))::BIGINT AS n_bytes,
+       magic,
+       round(('0x' || substr(md5(mstr), 1, 8))::BIGINT / 2147483648.0 - 1.0, 4) AS f0,
+       greatest(1, octet_length(encode(mstr)) // 65536)::BIGINT AS n_frames
+FROM sniffed
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "parse_text": _oracle_parse_text(),
@@ -1095,12 +1177,6 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
 """,
-        "media_meta": """
-SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       'unknown' AS magic,
-       sha256(text) AS sha
-FROM documents
-""",
-        # media_features: no SQL oracle (md5-chained fake decode) -> rows-only
+        "media_meta": _oracle_media_meta(),
+        "media_features": _oracle_media_features(),
     }

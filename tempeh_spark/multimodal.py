@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -45,7 +45,11 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("magic", StringType()),
-        StructField("feature", ArrayType(FloatType())),
+        # double, not float: the fake features are int32/2^31 dyadic
+        # rationals — exact in IEEE double on every engine, so the DuckDB
+        # value oracle reproduces them bit-identically (a float32 hop would
+        # make 4-decimal rounding flaky near boundaries)
+        StructField("feature", ArrayType(DoubleType())),
         StructField("n_frames", IntegerType()),
         StructField("error", StringType()),
     ]
@@ -132,21 +136,54 @@ def extract_media_features(
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(gen, FEATURE_SCHEMA)
 
 
-def media_metadata(
-    df: DataFrame, media_col: str = "media", id_col: str = "media_id", kind: str = "image"
-) -> DataFrame:
-    """Pure built-in metadata projection (no Python): bytes, magic, sha."""
-    data = F.col(media_col)
+# container/codec signature -> media kind; RIFF is ambiguous and needs the
+# format fourcc at byte offset 9 (RIFF<size>WAVE = wav audio, RIFF<size>AVI
+# = avi video)
+_KIND_BY_MAGIC = {
+    "jpeg": "image",
+    "png": "image",
+    "gif": "image",
+    "mp3": "audio",
+    "mp4ish": "video",
+}
+
+
+def sniff_magic_col(data) -> "F.Column":
+    """Byte-level magic sniff as a codegen column (twin of sniff_magic)."""
     magic = F.when(data.isNull(), None)
     for sig, name in _MAGICS:
-        hexsig = sig.hex()
         magic = magic.when(
-            F.hex(F.substring(data, 1, len(sig))) == hexsig.upper(), F.lit(name)
+            F.hex(F.substring(data, 1, len(sig))) == sig.hex().upper(), F.lit(name)
         )
+    return magic.otherwise(F.lit("unknown"))
+
+
+def media_kind_col(data, magic) -> "F.Column":
+    """Derive the media kind from the SNIFFED magic (not a caller constant):
+    image/audio/video/unknown, with the RIFF fourcc disambiguation."""
+    riff_fmt = F.hex(F.substring(data, 9, 4))
+    kind = F.when(
+        magic == "riff",
+        F.when(riff_fmt == b"WAVE".hex().upper(), F.lit("audio"))
+        .when(riff_fmt == b"AVI ".hex().upper(), F.lit("video"))
+        .otherwise(F.lit("unknown")),
+    )
+    for m, k in _KIND_BY_MAGIC.items():
+        kind = kind.when(magic == m, F.lit(k))
+    return kind.otherwise(F.lit("unknown"))
+
+
+def media_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """Pure built-in metadata projection (no Python): bytes, sniffed magic,
+    kind derived from the magic, sha256."""
+    data = F.col(media_col)
+    magic = sniff_magic_col(data)
     return df.select(
         F.col(id_col).alias("media_id"),
-        F.lit(kind).alias("kind"),
+        media_kind_col(data, magic).alias("kind"),
         F.length(data).cast("long").alias("n_bytes"),
-        magic.otherwise(F.lit("unknown")).alias("magic"),
+        magic.alias("magic"),
         F.sha2(data, 256).alias("sha"),
     )

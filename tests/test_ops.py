@@ -97,6 +97,11 @@ def test_multimodal_plumbing(spark):
         (2, b"\x89PNGdata"),
         (3, b"plain bytes"),
         (4, None),
+        (5, b"RIFFxxxxWAVEdata"),
+        (6, b"RIFFxxxxAVI data"),
+        (7, b"ID3audio"),
+        (8, b"GIF87adata"),
+        (9, b"RIFFxxxxJUNK"),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = {r["media_id"]: r for r in media_metadata(media).collect()}
@@ -104,6 +109,15 @@ def test_multimodal_plumbing(spark):
     assert meta[2]["magic"] == "png"
     assert meta[3]["magic"] == "unknown"
     assert meta[1]["n_bytes"] == 11
+    # kind is DERIVED from the sniffed magic, incl. the RIFF fourcc
+    assert meta[1]["kind"] == "image"
+    assert meta[2]["kind"] == "image"
+    assert meta[3]["kind"] == "unknown"
+    assert meta[5]["kind"] == "audio" and meta[5]["magic"] == "riff"
+    assert meta[6]["kind"] == "video" and meta[6]["magic"] == "riff"
+    assert meta[7]["kind"] == "audio" and meta[7]["magic"] == "mp3"
+    assert meta[8]["kind"] == "image" and meta[8]["magic"] == "gif"
+    assert meta[9]["kind"] == "unknown" and meta[9]["magic"] == "riff"
 
     feats = {r["media_id"]: r for r in extract_media_features(media, dim=4).collect()}
     assert len(feats[1]["feature"]) == 4
