@@ -157,7 +157,18 @@ def run_extraction_job(
     extracted = extract_pages(pages, cfg)
 
     if is_table:
-        extracted.writeTo(output).append()
+        from pyspark.errors import AnalysisException
+
+        # DataFrameWriterV2 first: on an Iceberg (or any v2) catalog this
+        # append is a snapshot-atomic commit. The sandbox's session catalog
+        # only exposes v1 parquet tables, which the v2 writer refuses
+        # ("Cannot write into v1 table") — fall back to the v1 writer with
+        # identical append-or-create semantics so the same job code runs in
+        # both worlds.
+        try:
+            extracted.writeTo(output).append()
+        except AnalysisException:
+            extracted.write.mode("append").format("parquet").saveAsTable(output)
     else:
         extracted.write.mode("append").parquet(output)
 

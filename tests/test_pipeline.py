@@ -73,3 +73,44 @@ def test_resume_processes_only_new(spark, pages_dir, tmp_path):
     m = run_extraction_job(spark, extra_dir, out_dir, cfg)
     assert m["rows"] == 96
     assert spark.read.parquet(out_dir).count() == 96
+
+
+def test_run_job_table_branch_and_resume(spark, pages_dir):
+    """The 100 TB production path: catalog-table source, DataFrameWriterV2
+    sink (writeTo create/append), resume anti-join over the committed TABLE
+    snapshot — the branch an Iceberg catalog would exercise."""
+    import uuid
+
+    from tempeh_spark.corpus import bench_pages
+    from tempeh_spark.pipeline import PipelineConfig, run_extraction_job
+
+    tag = uuid.uuid4().hex[:8]
+    src, out = f"pages_src_{tag}", f"pages_out_{tag}"
+    try:
+        spark.read.parquet(pages_dir).write.saveAsTable(src)
+        cfg = PipelineConfig(buckets=8, with_nodes_json=False)
+
+        m1 = run_extraction_job(spark, src, out, cfg)
+        assert m1["rows"] == 64 and m1["errors"] == 0
+
+        # no new urls -> resume re-commits nothing
+        m2 = run_extraction_job(spark, src, out, cfg)
+        assert m2["rows"] == 64
+        assert spark.read.table(out).count() == 64
+
+        # 32 new urls appended to the source table -> only those get parsed
+        bench_pages(spark, 96, partitions=4).createOrReplaceTempView("all_pages")
+        spark.sql(
+            f"INSERT INTO {src} SELECT * FROM all_pages "
+            f"WHERE url NOT IN (SELECT url FROM {src})"
+        )
+        m3 = run_extraction_job(spark, src, out, cfg)
+        assert m3["rows"] == 96
+        committed = spark.read.table(out)
+        assert committed.count() == 96
+        assert committed.select("url").distinct().count() == 96
+        metrics = spark.read.table(out + "_metrics")
+        assert metrics.agg({"rows": "sum"}).first()[0] == 96
+    finally:
+        for t in (src, out, out + "_metrics"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
