@@ -54,8 +54,9 @@ def main() -> None:
     ).collect()
     warm_qs = entrymod.queries()
     for _name in (
-        "exact_dedup", "minhash_lsh", "simhash", "text_analysis",
-        "embedding_neardup", "brute_topk", "hourly_events", "sessionize",
+        "exact_dedup", "minhash_lsh", "simhash", "simhash_pairs",
+        "text_analysis", "embedding_neardup", "embedding_lsh_neardup",
+        "brute_topk", "lsh_topk", "hourly_events", "sessionize",
         "q1_pricing", "nation_revenue",
     ):
         warm_qs[_name](spark, "/root/testdata/sf0.001").count()
@@ -93,9 +94,12 @@ def main() -> None:
         "exact_dedup",
         "minhash_lsh",
         "simhash",
+        "simhash_pairs",
         "text_analysis",
         "embedding_neardup",
+        "embedding_lsh_neardup",
         "brute_topk",
+        "lsh_topk",
         "hourly_events",
         "sessionize",
         "q1_pricing",

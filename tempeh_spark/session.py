@@ -41,6 +41,14 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Codegen-heavy mixed workloads (parse UDF stages + wide hash aggs +
+        # banded joins) overflow the JVM's default 240 MB code cache; once it
+        # fills, JITed whole-stage code gets evicted and later queries run
+        # 3-5x slower until re-compiled (measured: minhash_lsh 33 s -> 9 s
+        # right after a 50k-doc parse). Same flag belongs on
+        # spark.executor.extraJavaOptions on a real cluster.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
