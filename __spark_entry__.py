@@ -272,6 +272,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale simhash configuration: 60-bit hash (16-bit saturates
+    — most pairs collide within small hamming), 7 bands of 8-9 bits, exact
+    recall at hamming<=6 by pigeonhole. Oracle is the unrestricted full-pair
+    ground truth."""
+    from tempeh_spark.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6, bits=60).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.dedup import minhash_signatures
 
@@ -587,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash60_pairs": q_simhash60_pairs,
         "lsh_topk": q_lsh_topk,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
@@ -730,11 +745,14 @@ FROM crossed GROUP BY 1, 2
 """
 
 
-def _simhash_cte() -> str:
+def _simhash_cte(bits: int = 16) -> str:
     votes = ",\n         ".join(
-        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
     )
-    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    total = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
     return f"""
 toks AS (
   SELECT doc_id, unnest(list_filter(string_split({NORM_SQL.format(c='text')}, ' '),
@@ -742,27 +760,27 @@ toks AS (
   FROM documents
 ),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS hv FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, {bits // 4}))::BIGINT AS hv FROM toks
 ),
 votes AS (
   SELECT doc_id,
          {votes}
   FROM hashed GROUP BY doc_id
 ),
-sh AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM votes)
+sh AS (SELECT doc_id, ({total})::BIGINT AS simhash FROM votes)
 """
 
 
-def _oracle_simhash_pairs() -> str:
+def _oracle_simhash_pairs(bits: int = 16, max_hamming: int = 6) -> str:
     """FULL-PAIR ground truth — no bucket restriction. The Spark operator's
     banded equi-join must reproduce this exactly, so the gate checks the
     candidate-generation recall for real (not a tautology)."""
     return f"""
-WITH {_simhash_cte().strip()}
+WITH {_simhash_cte(bits).strip()}
 SELECT a.doc_id::BIGINT AS id_a, c.doc_id::BIGINT AS id_b,
        bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
 FROM sh a JOIN sh c ON a.doc_id < c.doc_id
-WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}
 """
 
 
@@ -1122,6 +1140,7 @@ FROM documents GROUP BY 1
         "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
+        "simhash60_pairs": _oracle_simhash_pairs(bits=60, max_hamming=6),
         "lsh_topk": _oracle_lsh_topk(),
         "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
         "ann_recall": _oracle_ann_recall(),

@@ -289,34 +289,55 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """(id, simhash) via the scale shape: explode tokens -> codegen md5 ->
-    one hash-agg with 16 bit-vote sums (map-side combinable).
+    one hash-agg with ``bits`` bit-vote sums (map-side combinable).
+
+    ``bits`` must be a multiple of 4 in [4, 60]: the per-token hash is the
+    first bits/4 hex chars of md5, parsed as an integer — 60 bits stays
+    inside a signed 64-bit value on every engine (DuckDB twin uses the same
+    ('0x' || substr(md5, ...))::BIGINT parse). 16 bits is fine for small
+    gate corpora but SATURATES at corpus scale (at sf0.1, 66% of all pairs
+    sit within hamming 6 of each other); 60 bits is the configuration that
+    still separates near-dups from noise at 10^9+ documents.
 
     Semantics: documents with ZERO tokens (empty/whitespace-only text) are
     DROPPED — a plain explode, matching the SQL-twin's ``unnest`` of an
     empty list. (Emitting simhash 0 for them would also cluster every empty
     doc into one giant hamming-0 bucket downstream, the wrong dedup answer.)
     """
+    if bits % 4 != 0 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     base = _spread(df, id_col)
     norm = normalize_text(text_col)
     toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
     exploded = base.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    hv = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 4), 16, 10).cast("int")
+    hv = F.conv(
+        F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, bits // 4), 16, 10
+    ).cast("long")
     hashed = exploded.select("id", hv.alias("hv"))
     votes = [
         F.sum(
             F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(16)
+        for b in range(bits)
     ]
     agg = hashed.groupBy("id").agg(*votes)
-    total = F.lit(0)
-    for b in range(16):
-        total = total + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return agg.select("id", total.alias("simhash"))
+
+
+def simhash16_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit form (the original gate surface); see simhash_table."""
+    return simhash_table(df, id_col, text_col, bits=16)
 
 
 def simhash16(text_col: str = "text") -> Column:
@@ -361,11 +382,12 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int | None = None,
+    bits: int = 16,
 ) -> DataFrame:
     """EXACT near-dup pairs by SimHash hamming distance, with a scale-safe
     plan: candidates come from a banded equi-join, never an all-pairs scan.
 
-    The 16-bit simhash is split into ``bands`` contiguous bit-bands
+    The ``bits``-wide simhash is split into ``bands`` contiguous bit-bands
     (default ``max_hamming + 1``). Pigeonhole: a pair with hamming <=
     max_hamming has fewer differing bits than bands, so AT LEAST ONE band is
     bit-identical — joining on ``(band, band_bits)`` therefore has perfect
@@ -373,23 +395,28 @@ def simhash_near_pairs(
     O(n^2) pair scan, but the executed plan is a shuffled equi-join whose
     cost is bounded by per-bucket sizes (the DuckDB oracle computes the
     unrestricted full-pair ground truth, so the gate checks recall for real).
+
+    At corpus scale use ``bits=60``: 16-bit hashes saturate (most pairs land
+    within small hamming by collision alone), and wider bands (60/7 = 8-9
+    bits -> 256-512 buckets per band) keep the within-bucket quadratic step
+    small.
     """
     if bands is None:
         bands = max_hamming + 1
-    if not 1 <= bands <= 16:
-        raise ValueError("bands must be in [1, 16]")
+    if not 1 <= bands <= bits:
+        raise ValueError(f"bands must be in [1, {bits}]")
     if bands < max_hamming + 1:
         raise ValueError(
             f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
             f"need >= {max_hamming + 1} bands (pigeonhole)"
         )
-    sh = simhash16_table(df, id_col, text_col)
+    sh = simhash_table(df, id_col, text_col, bits=bits)
     probes = [
         F.struct(
             F.lit(band).alias("band"),
             F.shiftright("simhash", start).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
         )
-        for band, (start, width) in enumerate(_band_ranges(16, bands))
+        for band, (start, width) in enumerate(_band_ranges(bits, bands))
     ]
     banded = sh.select(
         "id", "simhash", F.explode(F.array(*probes)).alias("bk")

@@ -35,6 +35,7 @@ TWINNED = [
     "minhash_signatures",
     "simhash",
     "simhash_pairs",
+    "simhash60_pairs",
     "bottomk_sketch",
     "text_analysis",
 ]
