@@ -570,6 +570,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout leg: documents -> deterministic synthetic PDFs (FlateDecode
+    content streams) -> pure-stdlib text extraction. The oracle is the
+    roundtrip identity: extracted text must hash equal to the source text."""
+    from tempeh_spark.pdfops import build_pdf_column, extract_pdf_text
+
+    pdfs = build_pdf_column(_docs(spark, sf_dir))
+    out = extract_pdf_text(pdfs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.col("n_streams").cast("long").alias("n_streams"),
+        F.col("error").isNull().alias("ok"),
+    )
+
+
 def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction invariant over generated pages: <p> payload text survives
     the parse byte-identically, and the parse never errors."""
@@ -595,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_main_text": q_parse_main_text,
         "corpus_rollup": q_corpus_rollup,
         "roundtrip": q_roundtrip,
+        "pdf_extract": q_pdf_extract,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1130,6 +1147,11 @@ def oracle_sql() -> dict[str, str]:
         "parse_main_text": _oracle_parse_main_text(),
         "corpus_rollup": _oracle_corpus_rollup(),
         "roundtrip": "SELECT doc_id::BIGINT AS doc_id, true AS roundtrip_ok FROM documents",
+        "pdf_extract": """
+SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5,
+       1::BIGINT AS n_streams, true AS ok
+FROM documents
+""",
         "exact_dedup": f"""
 SELECT md5({NORM_SQL.format(c='text')}) AS digest,
        count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keeper

@@ -54,7 +54,7 @@ def main() -> None:
     ).collect()
     warm_qs = entrymod.queries()
     for _name in (
-        "exact_dedup", "minhash_lsh", "simhash", "simhash_pairs", "simhash60_pairs",
+        "exact_dedup", "pdf_extract", "minhash_lsh", "simhash", "simhash_pairs", "simhash60_pairs",
         "text_analysis", "embedding_neardup", "embedding_lsh_neardup",
         "brute_topk", "lsh_topk", "hourly_events", "sessionize",
         "q1_pricing", "nation_revenue",
@@ -92,6 +92,7 @@ def main() -> None:
     qs = entrymod.queries()
     for name in (
         "exact_dedup",
+        "pdf_extract",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",
