@@ -315,6 +315,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: rank cells by query-centroid cosine, search the top
+    3 — recovers the cross-cell-boundary neighbors single-probe misses."""
+    from tempeh_spark.similarity import ivf_multiprobe_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_multiprobe_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_probe=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("nbr_id").cast("long").alias("nbr_id"),
+        "cosine",
+    )
+
+
 def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup pairs: banded hyperplane-LSH candidates + exact
     cosine verify. Gate instance uses 16 bands x 2 planes because the gate
@@ -346,8 +360,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
+    from tempeh_spark.similarity import ivf_multiprobe_topk
+
     brute = brute_topk(emb, q, k=10).select("query_id", "nbr_id")
     ivf = ivf_topk(emb, q, k=10).select("query_id", "nbr_id")
+    ivf3 = ivf_multiprobe_topk(emb, q, k=10, n_probe=3).select("query_id", "nbr_id")
     lsh = lsh_bucket_topk(emb, q, dim=64, k=10, n_planes=3, n_bands=8).select(
         "query_id", "nbr_id"
     )
@@ -368,6 +385,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         one("ivf_topk", ivf, brute, ["query_id", "nbr_id"])
+        .unionByName(one("ivf_probe_topk", ivf3, brute, ["query_id", "nbr_id"]))
         .unionByName(one("lsh_topk", lsh, brute, ["query_id", "nbr_id"]))
         .unionByName(one("lsh_pairs", lshp, exact, ["id_a", "id_b"]))
     )
@@ -625,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "brute_topk": q_brute_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ann_recall": q_ann_recall,
         "hourly_events": q_hourly_events,
@@ -963,6 +982,50 @@ tranked AS (
 )"""
 
 
+def _ivf_probe_ctes(n_probe: int = 3, dim: int = 64) -> str:
+    """Multi-probe IVF CTEs (assumes nothing): el (vec+label), cent
+    (per-cell mean via a lateral range over the 64 dims), probes (top
+    n_probe cells per query by centroid cosine), ivf3_ranked."""
+    return f"""
+el AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS cv
+  FROM (
+    SELECT label, i, avg(v[i]) AS m
+    FROM el, range(1, {dim + 1}) t(i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT q.vec_id, q.v, c.label AS cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.v, c.cv) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.label ASC) AS pr
+    FROM el q, cent c WHERE q.vec_id < 5
+  ) WHERE pr <= {n_probe}
+),
+ivf3_ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM (
+    SELECT p.query_id, e.vec_id AS nbr_id,
+           round(list_dot_product(p.qv, e.v) /
+                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+    FROM probes p JOIN el e ON e.label = p.cell AND e.vec_id <> p.query_id
+  )
+)"""
+
+
+def _oracle_ivf_probe_topk() -> str:
+    return f"""
+WITH {_ivf_probe_ctes().strip()}
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, nbr_id::BIGINT AS nbr_id, cosine
+FROM ivf3_ranked WHERE rank <= 10
+"""
+
+
 def _oracle_lsh_topk() -> str:
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1020,7 +1083,8 @@ brute AS (
     FROM q JOIN e ON q.vec_id <> e.vec_id
   ) WHERE rank <= 10
 ),
-el AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+{_ivf_probe_ctes().strip().lstrip()},
+ivf_probe AS (SELECT query_id, nbr_id FROM ivf3_ranked WHERE rank <= 10),
 ivf AS (
   SELECT query_id, nbr_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -1044,6 +1108,12 @@ SELECT 'ivf_topk' AS method,
        (SELECT count(*) FROM brute)::BIGINT AS n_true,
        round((SELECT count(*) FROM ivf JOIN brute USING (query_id, nbr_id))::DOUBLE
              / (SELECT count(*) FROM brute), 4) AS recall
+UNION ALL
+SELECT 'ivf_probe_topk',
+       (SELECT count(*) FROM ivf_probe JOIN brute USING (query_id, nbr_id))::BIGINT,
+       (SELECT count(*) FROM brute)::BIGINT,
+       round((SELECT count(*) FROM ivf_probe JOIN brute USING (query_id, nbr_id))::DOUBLE
+             / (SELECT count(*) FROM brute), 4)
 UNION ALL
 SELECT 'lsh_topk',
        (SELECT count(*) FROM lsh_topk JOIN brute USING (query_id, nbr_id))::BIGINT,
@@ -1164,6 +1234,7 @@ FROM documents GROUP BY 1
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash60_pairs": _oracle_simhash_pairs(bits=60, max_hamming=6),
         "lsh_topk": _oracle_lsh_topk(),
+        "ivf_probe_topk": _oracle_ivf_probe_topk(),
         "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
         "ann_recall": _oracle_ann_recall(),
         "text_analysis": _oracle_text_analysis(),

@@ -93,6 +93,78 @@ def ivf_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
+) -> DataFrame:
+    """Per-cell mean vector: posexplode -> (cell, dim) avg -> re-assemble.
+    Output is n_cells rows — broadcastable at any corpus scale (the shuffle
+    carries n_cells x dim partial sums, map-side combined)."""
+    pos = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("i", "x")
+    )
+    per_dim = pos.groupBy("cell", "i").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Real IVF search: rank cells by query-to-centroid cosine, search the
+    top ``n_probe`` cells. Single-probe-by-own-label (``ivf_topk``) misses
+    neighbors that sit just across a cell boundary; probing the nearest
+    n_probe cells recovers them at n_probe/n_cells of the brute cost.
+    Centroids and probe lists are tiny and broadcast; the corpus only ever
+    streams through one equi-join on cell."""
+    cents = ivf_centroids(corpus, vec_col, cell_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_score"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("cell_score"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    corpus = _spread(corpus, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component sign/value
     from md5 bytes of (plane, index). No RNG state — reproducible anywhere."""

@@ -88,6 +88,12 @@ def test_similarity_topk(spark):
     lsh = lsh_bucket_topk(emb, q, dim=3, k=2, n_planes=2).collect()
     assert all(r["query_id"] == 0 for r in lsh)
 
+    from tempeh_spark.similarity import ivf_multiprobe_topk
+
+    # probing both cells recovers the full brute result, incl. cross-cell
+    mp = ivf_multiprobe_topk(emb, q, k=4, n_probe=2).collect()
+    assert [r["nbr_id"] for r in mp] == [r["nbr_id"] for r in brute_topk(emb, q, k=4).collect()]
+
 
 def test_multimodal_plumbing(spark):
     from tempeh_spark.multimodal import extract_media_features, media_metadata
