@@ -498,6 +498,15 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming gate: readStream file source -> watermark ->
+    1-hour tumbling-window agg -> memory sink (availableNow drains the
+    backlog, so the result equals the batch rollup the oracle computes)."""
+    from tempeh_spark.streaming import stream_hourly_events
+
+    return stream_hourly_events(spark, f"{sf_dir}/events.parquet")
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -647,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ann_recall": q_ann_recall,
         "hourly_events": q_hourly_events,
+        "streaming_hourly": q_streaming_hourly,
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
         "q1_pricing": q_q1_pricing,
@@ -1243,6 +1253,13 @@ FROM documents GROUP BY 1
         "brute_topk": _oracle_brute_topk(),
         "ivf_topk": _oracle_ivf_topk(),
         "hourly_events": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+        # streaming gate: availableNow drains the backlog, so the finished
+        # stream equals the batch rollup
+        "streaming_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
 FROM events GROUP BY 1, 2

@@ -48,6 +48,63 @@ def stream_pages(
     )
 
 
+def stream_hourly_events(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming windowed aggregation, drained with ``availableNow``: a real
+    ``readStream`` file source -> watermark -> 1-hour tumbling window agg ->
+    memory sink, returned as a (finished) DataFrame.
+
+    With availableNow the stream processes the whole backlog and stops, so
+    the result equals the batch hourly rollup — which is exactly what the
+    driver gate asserts (the DuckDB oracle is the batch SQL). At production
+    scale the same plan runs unbounded: the watermark bounds the window
+    state, late events beyond it are dropped, and the sink becomes a
+    table/parquet append.
+    """
+    import uuid
+
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(events_path):
+        # file-stream sources list a DIRECTORY; a single-file table is its
+        # parent dir filtered down to that one file name
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        src = reader.parquet(os.path.dirname(events_path))
+    else:
+        src = reader.parquet(events_path)
+    # watermarks require TIMESTAMP (with zone); parquet NTZ keeps the same
+    # wall clock under the engine's fixed UTC session timezone
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "avg_value",
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,

@@ -24,3 +24,31 @@ def test_stream_pages_availablenow(spark, tmp_path):
     q2 = run_stream_to_parquet(spark, src, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 32
+
+
+def test_stream_hourly_equals_batch(spark, tmp_path):
+    """availableNow drains the backlog: the finished windowed-agg stream
+    must equal the batch hourly rollup."""
+    from pyspark.sql import functions as F
+
+    from tempeh_spark.streaming import stream_hourly_events
+
+    rows = [
+        (1, 10, "click", "2024-01-01 10:05:00", 1.0),
+        (2, 10, "click", "2024-01-01 10:55:00", 3.0),
+        (3, 11, "view", "2024-01-01 11:01:00", 5.0),
+        (4, 11, "click", "2024-01-01 11:30:00", 7.0),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    ).write.parquet(src)
+
+    out = {(r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+           for r in stream_hourly_events(spark, src).collect()}
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 2.0)
+    assert out[("2024-01-01 11:00:00", "view")] == (1, 5.0)
+    assert out[("2024-01-01 11:00:00", "click")] == (1, 7.0)
