@@ -77,11 +77,16 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         (F.length("html") > cfg.max_html_bytes).alias("oversize"),
     )
 
-    # Explicit bucketing: xxhash64(url) + a size-salt so that a pathological
-    # key distribution (one host = one hash neighborhood) still spreads.
-    bucketed = guarded.repartition(
-        buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets))
-    )
+    # Explicit bucketing: xxhash64(url), plus a capture-time salt when the
+    # table carries warc_ts. Unique urls already spread under the hash; the
+    # salt is for HOT KEYS — a url re-crawled 10^5 times would otherwise
+    # pin all its captures to one task. Salting by (url, warc_ts) spreads a
+    # hot url across up to salt_mod sub-buckets while staying fully
+    # deterministic per row (resume/lineage safe).
+    key = F.xxhash64("url", F.lit(17))
+    if cfg.salt_mod > 1 and "warc_ts" in df.columns:
+        key = key + F.pmod(F.xxhash64("url", "warc_ts"), F.lit(cfg.salt_mod))
+    bucketed = guarded.repartition(buckets, F.pmod(key, F.lit(buckets)))
 
     parse_udf = make_parse_udf(cfg.options)
     parsed = bucketed.withColumn("parsed", parse_udf(F.col("html")))

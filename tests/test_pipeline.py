@@ -114,3 +114,27 @@ def test_run_job_table_branch_and_resume(spark, pages_dir):
     finally:
         for t in (src, out, out + "_metrics"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hot_url_salting_spreads_tasks(spark):
+    """A url re-crawled many times must not pin every capture to one task:
+    the warc_ts salt spreads it across sub-buckets deterministically."""
+    from pyspark.sql import functions as F
+
+    from tempeh_spark.pipeline import PipelineConfig, extract_pages
+
+    hot = spark.range(64).select(
+        F.lit("https://hot.example/page").alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("id"))).alias("warc_ts"),
+        F.encode(F.lit("<p>hi</p>"), "UTF-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract_pages(hot, PipelineConfig(buckets=16, salt_mod=16, with_nodes_json=False))
+    parts = out.select("partition_id").distinct().count()
+    assert parts > 4  # unsalted, all 64 captures would share ONE partition
+
+    # determinism: same input -> same partition assignment
+    again = extract_pages(hot, PipelineConfig(buckets=16, salt_mod=16, with_nodes_json=False))
+    a = sorted(r["partition_id"] for r in out.select("partition_id").collect())
+    b = sorted(r["partition_id"] for r in again.select("partition_id").collect())
+    assert a == b
