@@ -87,3 +87,22 @@ def test_pdf_spark_path_and_error_channel(spark):
     # the plan must be Arrow-batched Python, not row-at-a-time
     plan = extract_pdf_text(pdfs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=600))
+    def test_pdf_roundtrip_property(text):
+        # lone surrogates can't round-trip through UTF-8; the writer
+        # contract is "any str that UTF-8-encodes"
+        try:
+            text.encode("utf-8")
+        except UnicodeEncodeError:
+            return
+        assert extract_pdf_text_bytes(build_simple_pdf(text))[0] == text
+
+except ImportError:  # pragma: no cover
+    pass
