@@ -272,6 +272,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    minhash-LSH pair graph (iterative min-label propagation; the oracle is
+    the recursive-CTE transitive closure — procedure-independent)."""
+    from tempeh_spark.dedup import duplicate_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=16, bands=4, ngram=8, verify_threshold=0.3, max_chars=300
+    )
+    return duplicate_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale simhash configuration: 60-bit hash (16-bit saturates
     — most pairs collide within small hamming), 7 bands of 8-9 bits, exact
@@ -642,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dup_components": q_dup_components,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -748,7 +764,9 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
-def _oracle_minhash_lsh() -> str:
+def _minhash_lsh_ctes() -> str:
+    """CTE block ending in ``mh_pairs(id_a, id_b, jaccard)`` — shared by the
+    minhash_lsh gate and the dup_components transitive-closure oracle."""
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(sh, g -> md5('p{k}:' || g))) AS mh{k}" for k in range(16)
     )
@@ -757,7 +775,7 @@ def _oracle_minhash_lsh() -> str:
         for b in range(4)
     )
     return f"""
-WITH {_SHINGLES_CTE.strip()},
+{_SHINGLES_CTE.strip()},
 sigs AS (
   SELECT doc_id, sh,
          {mh_cols}
@@ -768,15 +786,43 @@ banded AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.3
+)"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+WITH {_minhash_lsh_ctes().strip()}
+SELECT id_a, id_b, jaccard FROM mh_pairs
+"""
+
+
+def _oracle_dup_components() -> str:
+    """TRUE transitive closure via a recursive CTE — the Spark side's
+    iterative min-label propagation must land on the same fixpoint."""
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes().strip()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
-SELECT c.id_a, c.id_b,
-       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
-FROM cand c
-JOIN shingled sa ON sa.doc_id = c.id_a
-JOIN shingled sb ON sb.doc_id = c.id_b
-WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.3
+SELECT s::BIGINT AS doc_id, least(s, min(d))::BIGINT AS component
+FROM reach GROUP BY s
 """
 
 
@@ -1239,6 +1285,7 @@ FROM documents GROUP BY 1
 """,
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_lsh": _oracle_minhash_lsh(),
+        "dup_components": _oracle_dup_components(),
         "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),

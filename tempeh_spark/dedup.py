@@ -441,6 +441,71 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, component)
+    where component = min doc id reachable — the keeper-assignment step that
+    turns pairwise dup evidence into keep/drop decisions.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; convergence needs
+    O(component diameter) rounds — tiny for dup clusters, which are
+    near-cliques. All data stays on executors; the driver sees only a
+    one-row convergence count per round (the standard Spark CC shape; at
+    10^12 edges the same loop runs with checkpointed lineage, which
+    ``localCheckpoint`` provides here every few rounds).
+
+    The DuckDB oracle computes the TRUE transitive closure with a recursive
+    CTE, so the gate verifies the fixpoint, not the procedure.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .persist()
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.s == labels.v)
+            .groupBy(F.col("d").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
+            )
+        )
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = new_labels.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        old = labels
+        labels = new_labels.select("v", "label")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

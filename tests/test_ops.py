@@ -143,3 +143,15 @@ def test_bottomk_sketch_similarity(spark, docs):
     }
     assert out[1] == out[2]
     assert out[1] != out[4]
+
+
+def test_duplicate_components(spark):
+    """Min-label propagation must reach the transitive-closure fixpoint —
+    including a 6-node path (diameter > 1 hop) and a separate 2-clique."""
+    from tempeh_spark.dedup import duplicate_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 10)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    comp = {r["doc_id"]: r["component"] for r in duplicate_components(df).collect()}
+    assert all(comp[v] == 1 for v in (1, 2, 3, 4, 5, 6))
+    assert comp[10] == 10 and comp[11] == 10
