@@ -105,6 +105,105 @@ def stream_hourly_events(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-user session counting with a ``gap_minutes`` inactivity rule.
+
+    State per user = (last event epoch, sessions so far, events so far);
+    each micro-batch folds its events into the state and emits the running
+    totals, so arbitrary batch boundaries (one file per trigger here) give
+    the same final answer as the batch window-function sessionizer — which
+    is exactly what tests assert. ``availableNow`` drains the backlog; the
+    caller takes the per-user max (counters are monotonic).
+    """
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_epoch", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_s = gap_minutes * 60
+
+    def fold(key, pdfs, state: GroupState):
+        events = pd.concat(list(pdfs))
+        events = events.sort_values(["epoch", "event_id"])
+        if state.exists:
+            last_epoch, n_sessions, n_events = state.get
+        else:
+            last_epoch, n_sessions, n_events = None, 0, 0
+        for ep in events["epoch"]:
+            ep = int(ep)
+            if last_epoch is None or ep - last_epoch > gap_s:
+                n_sessions += 1
+            last_epoch = ep
+            n_events += 1
+        state.update((last_epoch, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        src = reader.parquet(os.path.dirname(events_path))
+    else:
+        src = reader.parquet(events_path)
+    keyed = src.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+    ).groupBy("user_id")
+    updates = keyed.applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # running counters are monotonic: the final value per user is the max
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,

@@ -52,3 +52,58 @@ def test_stream_hourly_equals_batch(spark, tmp_path):
     assert out[("2024-01-01 10:00:00", "click")] == (2, 2.0)
     assert out[("2024-01-01 11:00:00", "view")] == (1, 5.0)
     assert out[("2024-01-01 11:00:00", "click")] == (1, 7.0)
+
+
+def test_stateful_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user session state carried ACROSS
+    micro-batches (one file per trigger) must reproduce the batch
+    window-function sessionization."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tempeh_spark.streaming import stream_sessionize
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string, value double"
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        )
+
+    src = str(tmp_path / "sessions_src")
+    # batch 1: u1 two events 10 min apart (one session); u2 one event
+    mk([
+        (1, 1, "c", "2024-01-01 10:00:00", 0.0),
+        (2, 1, "c", "2024-01-01 10:10:00", 0.0),
+        (3, 2, "c", "2024-01-01 10:00:00", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2 (newer mtime -> second trigger): u1 crosses the 30-min gap
+    # (new session); u2 continues the same session
+    mk([
+        (4, 1, "c", "2024-01-01 11:00:00", 0.0),
+        (5, 2, "c", "2024-01-01 10:20:00", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in stream_sessionize(spark, src, gap_minutes=30).collect()}
+    assert out[1] == (2, 3)  # state crossed the batch boundary
+    assert out[2] == (1, 2)
+
+    # and it equals the batch sessionizer on the same data
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert out == batch
