@@ -560,22 +560,28 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ASCII magic prefixes keep the gate payloads valid UTF-8, which the DuckDB
 # twin needs (its md5/sha256 are VARCHAR-only). The non-ASCII magics
-# (jpeg/png/mp4ish) are pinned by unit tests instead
+# (jpeg/png) are pinned by unit tests instead
 # (tests/test_ops.py::test_multimodal_plumbing).
-_MEDIA_PREFIXES = ["GIF87a", "RIFFxxxxWAVE", "ID3x", "RIFFxxxxAVI ", ""]
+_MEDIA_PREFIXES = [
+    "GIF87a",  # gif -> image
+    "RIFFxxxxWAVE",  # riff + WAVE fourcc -> audio
+    "ID3x",  # mp3 -> audio
+    "RIFFxxxxAVI ",  # riff + AVI fourcc -> video
+    "xxxxftypisom",  # ISO-BMFF: 'ftyp' at byte 5 -> mp4 -> video
+    "",  # plain -> unknown
+]
 
 
 def _docs_as_media(df: DataFrame) -> DataFrame:
     """Documents -> binary media payloads with REAL magic-byte headers, so
     the gate exercises every sniff/kind branch (gif->image, riff-WAVE->
-    audio, ID3->mp3->audio, riff-AVI->video, plain->unknown)."""
-    prefix = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(_MEDIA_PREFIXES[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(_MEDIA_PREFIXES[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(_MEDIA_PREFIXES[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(_MEDIA_PREFIXES[3]))
-        .otherwise(F.lit(""))
-    )
+    audio, ID3->mp3->audio, riff-AVI->video, ftyp->mp4->video,
+    plain->unknown)."""
+    mod = len(_MEDIA_PREFIXES)
+    expr = F.when(F.col("doc_id") % mod == 0, F.lit(_MEDIA_PREFIXES[0]))
+    for i in range(1, mod - 1):
+        expr = expr.when(F.col("doc_id") % mod == i, F.lit(_MEDIA_PREFIXES[i]))
+    prefix = expr.otherwise(F.lit(""))
     return df.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.concat(prefix, F.col("text")), "UTF-8").alias("media"),
@@ -1056,8 +1062,8 @@ probes AS (
   SELECT vec_id AS query_id, v AS qv, cell FROM (
     SELECT q.vec_id, q.v, c.label AS cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             list_dot_product(q.v, c.cv) /
-             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             round(list_dot_product(q.v, c.cv) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
              c.label ASC) AS pr
     FROM el q, cent c WHERE q.vec_id < 5
   ) WHERE pr <= {n_probe}
@@ -1213,19 +1219,22 @@ FROM ranked WHERE rank <= 10
 _MEDIA_CTE = """
 m AS (
   SELECT doc_id,
-         (CASE doc_id % 5
+         (CASE doc_id % 6
             WHEN 0 THEN 'GIF87a'
             WHEN 1 THEN 'RIFFxxxxWAVE'
             WHEN 2 THEN 'ID3x'
             WHEN 3 THEN 'RIFFxxxxAVI '
+            WHEN 4 THEN 'xxxxftypisom'
             ELSE '' END) || text AS mstr
   FROM documents
 ),
 sniffed AS (
   SELECT doc_id, mstr,
-         CASE WHEN starts_with(mstr, 'GIF8') THEN 'gif'
+         CASE WHEN mstr IS NULL THEN NULL
+              WHEN starts_with(mstr, 'GIF8') THEN 'gif'
               WHEN starts_with(mstr, 'RIFF') THEN 'riff'
               WHEN starts_with(mstr, 'ID3')  THEN 'mp3'
+              WHEN substr(mstr, 5, 4) = 'ftyp' THEN 'mp4'
               ELSE 'unknown' END AS magic
   FROM m
 )
@@ -1238,6 +1247,7 @@ WITH {_MEDIA_CTE.strip()}
 SELECT doc_id::BIGINT AS media_id,
        CASE WHEN magic IN ('jpeg', 'png', 'gif') THEN 'image'
             WHEN magic = 'mp3' THEN 'audio'
+            WHEN magic = 'mp4' THEN 'video'
             WHEN magic = 'riff' THEN
               CASE substr(mstr, 9, 4) WHEN 'WAVE' THEN 'audio'
                                       WHEN 'AVI ' THEN 'video'

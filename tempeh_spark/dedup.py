@@ -232,6 +232,12 @@ def minhash_lsh_pairs(
     signature (equi-join on (band, signature) — never a cross join);
     verified against true shingle Jaccard >= verify_threshold.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by bands={bands}: the "
+            f"trailing {num_perm % bands} permutations would be computed but "
+            f"never banded, silently lowering recall"
+        )
     rows_per_band = num_perm // bands
     sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
     wide = minhash_signatures_wide(df, id_col, text_col, num_perm, ngram, max_chars)
@@ -462,6 +468,7 @@ def duplicate_components(
     The DuckDB oracle computes the TRUE transitive closure with a recursive
     CTE, so the gate verifies the fixpoint, not the procedure.
     """
+    converged = False
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -499,8 +506,16 @@ def duplicate_components(
         labels = new_labels.select("v", "label")
         old.unpersist()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # returning intermediate labels would silently split components —
+        # a diameter > max_iter graph needs a bigger budget, loudly
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
     )

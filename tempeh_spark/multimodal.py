@@ -61,7 +61,6 @@ _MAGICS = [
     (b"GIF8", "gif"),
     (b"RIFF", "riff"),
     (b"ID3", "mp3"),
-    (b"\x00\x00\x00", "mp4ish"),
 ]
 
 
@@ -69,6 +68,11 @@ def sniff_magic(data: bytes) -> str:
     for sig, name in _MAGICS:
         if data.startswith(sig):
             return name
+    # ISO-BMFF (mp4/mov/heic): 4-byte box size then 'ftyp' at offset 4 —
+    # checking the ASCII fourcc instead of a \x00 size prefix is both more
+    # selective (a NUL-leading text is not an mp4) and SQL-twin-expressible
+    if data[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -144,7 +148,7 @@ _KIND_BY_MAGIC = {
     "png": "image",
     "gif": "image",
     "mp3": "audio",
-    "mp4ish": "video",
+    "mp4": "video",
 }
 
 
@@ -155,6 +159,9 @@ def sniff_magic_col(data) -> "F.Column":
         magic = magic.when(
             F.hex(F.substring(data, 1, len(sig))) == sig.hex().upper(), F.lit(name)
         )
+    magic = magic.when(
+        F.hex(F.substring(data, 5, 4)) == b"ftyp".hex().upper(), F.lit("mp4")
+    )
     return magic.otherwise(F.lit("unknown"))
 
 

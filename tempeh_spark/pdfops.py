@@ -96,7 +96,12 @@ def build_simple_pdf(text: str) -> bytes:
 # --------------------------------------------------------------------------
 
 _STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
-_NUM_RX = re.compile(rb"[-+]?\d*\.?\d+")
+# PDF reals include trailing-dot ('4.') and leading-dot ('.5') forms
+_NUM_RX = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+# direct /Length only — '/Length 6 0 R' is an indirect reference whose value
+# lives in another object; matching its object number would truncate the
+# stream, so indirect lengths fall back to the endstream-delimited read
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 _ESCAPES = {
     ord("n"): b"\n",
@@ -207,8 +212,11 @@ def _extract_text_ops(content: bytes) -> str:
             i += 1
         elif (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
             nm = _NUM_RX.match(content, i)
-            nums.append(nm.group())
-            i = nm.end()
+            if nm is None:  # lone '+'/'-'/'.' — not a number, skip
+                i += 1
+            else:
+                nums.append(nm.group())
+                i = nm.end()
         elif c in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00):
             i += 1
         elif c == 0x25:  # % comment to EOL
@@ -268,7 +276,7 @@ def extract_pdf_text_bytes(pdf: bytes) -> tuple[str, int]:
         # honor /Length when it parses (stream data may legitimately end in
         # EOL bytes — a blanket rstrip corrupts flate data); else strip the
         # single EOL the spec requires before `endstream`
-        lm = re.search(rb"/Length\s+(\d+)", d)
+        lm = _LENGTH_RX.search(d)
         if lm and start + int(lm.group(1)) <= end:
             raw = pdf[start : start + int(lm.group(1))]
         else:

@@ -136,7 +136,11 @@ def ivf_multiprobe_topk(
             "query_id",
             "q_vec",
             "cell",
-            cosine(F.col("q_vec"), F.col("centroid")).alias("cell_score"),
+            # rounded like every ranking in this module: F.avg centroids sum
+            # in shuffle order, so raw doubles differ in the last ulp across
+            # runs/engines — an unrounded sort key could flip the probe set
+            # at the n_probe boundary
+            F.round(cosine(F.col("q_vec"), F.col("centroid")), 4).alias("cell_score"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= n_probe)

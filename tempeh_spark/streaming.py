@@ -48,6 +48,40 @@ def stream_pages(
     )
 
 
+def _stream_file_source(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a parquet path. File-stream sources list a DIRECTORY;
+    a single-file table becomes its parent dir filtered to that file name."""
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        return reader.parquet(os.path.dirname(path))
+    return reader.parquet(path)
+
+
+def _drain_to_df(agg: DataFrame, output_mode: str, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) through a
+    memory sink, materialize the result, and DROP the sink table so
+    repeated calls in a long-lived session don't accumulate result copies."""
+    spark = agg.sparkSession
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def stream_hourly_events(
     spark: SparkSession,
     events_path: str,
@@ -66,17 +100,8 @@ def stream_hourly_events(
     """
     import uuid
 
-    import os
-
     schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(events_path):
-        # file-stream sources list a DIRECTORY; a single-file table is its
-        # parent dir filtered down to that one file name
-        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-        src = reader.parquet(os.path.dirname(events_path))
-    else:
-        src = reader.parquet(events_path)
+    src = _stream_file_source(spark, events_path, schema)
     # watermarks require TIMESTAMP (with zone); parquet NTZ keeps the same
     # wall clock under the engine's fixed UTC session timezone
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -88,16 +113,8 @@ def stream_hourly_events(
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    out = _drain_to_df(agg, "complete", f"stream_hourly_{uuid.uuid4().hex[:8]}")
+    return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         F.col("n").cast("long").alias("n"),
@@ -121,7 +138,6 @@ def stream_sessionize(
     is exactly what tests assert. ``availableNow`` drains the backlog; the
     caller takes the per-user max (counters are monotonic).
     """
-    import os
     import uuid
 
     import pandas as pd
@@ -168,14 +184,7 @@ def stream_sessionize(
         )
 
     schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", max_files_per_trigger
-    )
-    if os.path.isfile(events_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-        src = reader.parquet(os.path.dirname(events_path))
-    else:
-        src = reader.parquet(events_path)
+    src = _stream_file_source(spark, events_path, schema, max_files_per_trigger)
     keyed = src.select(
         "user_id",
         "event_id",
@@ -184,23 +193,11 @@ def stream_sessionize(
     updates = keyed.applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = _drain_to_df(updates, "update", f"stream_sessions_{uuid.uuid4().hex[:8]}")
     # running counters are monotonic: the final value per user is the max
-    return (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(
-            F.max("n_sessions").cast("long").alias("n_sessions"),
-            F.max("n_events").cast("long").alias("n_events"),
-        )
+    return out.groupBy("user_id").agg(
+        F.max("n_sessions").cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("n_events"),
     )
 
 

@@ -108,6 +108,8 @@ def test_multimodal_plumbing(spark):
         (7, b"ID3audio"),
         (8, b"GIF87adata"),
         (9, b"RIFFxxxxJUNK"),
+        (12, b"\x00\x00\x00\x18ftypisom"),  # ISO-BMFF: ftyp at offset 5
+        (13, b"\x00\x00\x00leading NULs are NOT an mp4"),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = {r["media_id"]: r for r in media_metadata(media).collect()}
@@ -124,6 +126,8 @@ def test_multimodal_plumbing(spark):
     assert meta[7]["kind"] == "audio" and meta[7]["magic"] == "mp3"
     assert meta[8]["kind"] == "image" and meta[8]["magic"] == "gif"
     assert meta[9]["kind"] == "unknown" and meta[9]["magic"] == "riff"
+    assert meta[12]["kind"] == "video" and meta[12]["magic"] == "mp4"
+    assert meta[13]["kind"] == "unknown" and meta[13]["magic"] == "unknown"
 
     feats = {r["media_id"]: r for r in extract_media_features(media, dim=4).collect()}
     assert len(feats[1]["feature"]) == 4

@@ -10,10 +10,10 @@ computes the UNRESTRICTED pair space — the banded equi-join must match it).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
+
+from tools.check_oracles import canon  # the driver-gate rehearsal's comparator
 
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog and runs far away"),
@@ -50,17 +50,6 @@ def sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def cell(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else f"{v:.6f}"
-        return str(v)
-
-    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
-
-
 @pytest.mark.parametrize("name", TWINNED)
 def test_twin_on_short_doc_corpus(spark, sf_dir, name):
     import __spark_entry__ as entry
@@ -79,7 +68,7 @@ def test_twin_on_short_doc_corpus(spark, sf_dir, name):
 
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"rowcount spark={len(srows)} duck={len(orows)}"
-    assert _canon(srows, scols) == _canon(orows, ocols)
+    assert canon(srows, scols) == canon(orows, ocols)
 
 
 def test_simhash_pairs_plan_is_shuffled_equi_join(spark, sf_dir):
