@@ -322,7 +322,13 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return lsh_bucket_topk(
-        emb, emb.where(F.col("vec_id") < 5), dim=64, k=10, n_planes=3, n_bands=12
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        dim=64,
+        k=10,
+        n_planes=3,
+        n_bands=12,
+        broadcast_queries=True,  # 5 queries: small-Q physical strategy
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
@@ -381,9 +387,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = brute_topk(emb, q, k=10).select("query_id", "nbr_id")
     ivf = ivf_topk(emb, q, k=10).select("query_id", "nbr_id")
     ivf3 = ivf_multiprobe_topk(emb, q, k=10, n_probe=3).select("query_id", "nbr_id")
-    lsh = lsh_bucket_topk(emb, q, dim=64, k=10, n_planes=3, n_bands=12).select(
-        "query_id", "nbr_id"
-    )
+    lsh = lsh_bucket_topk(
+        emb, q, dim=64, k=10, n_planes=3, n_bands=12, broadcast_queries=True
+    ).select("query_id", "nbr_id")
     exact = embedding_near_pairs(emb, threshold=0.30).select("id_a", "id_b")
     lshp = embedding_lsh_near_pairs(
         emb, dim=64, threshold=0.30, n_bands=16, planes_per_band=2

@@ -532,25 +532,18 @@ def embedding_near_pairs(
     For 10^12-scale use similarity.ivf_topk-style bucketing first; this
     exact form is the verifier/oracle path.
     """
-    dot = lambda x, y: F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-    norm = lambda x: F.sqrt(dot(x, x))
+    from tempeh_spark.vecmath import cosine
+
     df = _spread(df, id_col, mult=2)
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     a = v.alias("a")
     b = v.alias("b")
-    cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

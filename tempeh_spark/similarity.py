@@ -14,6 +14,12 @@
 
 All cosines are rounded to 4 decimals and tie-broken by id so results are
 deterministic across engines.
+
+Hot-path vector math lives in ``vecmath`` (Arrow-batched NumPy, bit-equal
+to the interpreted fold — see that module's contract). The interpreted
+higher-order-function forms are kept here only as the per-row reference
+(``_dot``/``lsh_signature``); nothing that scales with corpus size may use
+them (CLAUDE.md invariant: ~26x interpreter penalty).
 """
 
 from __future__ import annotations
@@ -22,20 +28,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tempeh_spark.vecmath import (
+    _hyperplane,
+    band_buckets_udf,
+    banded_buckets,
+    masked_cosine_udf,
+)
+from tempeh_spark.vecmath import cosine as _batch_cosine
+
 
 def _dot(x: Column, y: Column) -> Column:
+    """Interpreted-HOF dot product — reference form only (see vecmath)."""
     return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
 
 
 def cosine(x: Column, y: Column) -> Column:
-    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+    return _batch_cosine(x, y)
 
 
 def _spread(df: DataFrame, id_col: str, mult: int = 2) -> DataFrame:
     """Single-footer parquet inputs arrive as one partition; repartition the
-    corpus side so the broadcast-join scoring fans out across all cores."""
+    corpus side so downstream scoring fans out.
+
+    Partition count is sized by INPUT BYTES (~2 MB per partition, capped at
+    defaultParallelism * mult), not blindly at the cap: embedding operators
+    don't multiply rows (unlike dedup's shingle explodes), and every
+    ArrowEvalPython task pays a fixed Python round-trip cost, so spreading a
+    1 MB table across 128 partitions costs ~1 s of pure task overhead for
+    zero parallelism gain (measured: brute_topk 1.9 s -> 0.6 s at sf0.1).
+    At cluster scale the cap keeps the big-input behavior identical."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * mult, F.col(id_col))
+    cap = sc.defaultParallelism * mult
+    n = cap
+    try:
+        import os
+
+        paths = [f.removeprefix("file://").removeprefix("file:") for f in df.inputFiles()]
+        total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+        if total > 0:
+            n = max(2, min(cap, total // (2 << 20) + 1))
+    except Exception:
+        pass
+    return df.repartition(n, F.col(id_col))
 
 
 def brute_topk(
@@ -169,26 +203,16 @@ def ivf_multiprobe_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane: component sign/value
-    from md5 bytes of (plane, index). No RNG state — reproducible anywhere."""
-    import hashlib
-
-    out = []
-    for i in range(dim):
-        h = hashlib.md5(f"hp{plane}:{i}".encode()).digest()
-        v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
-        out.append(v)
-    return out
-
-
 def lsh_signature(
     vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane signature: bit b = sign(dot(vec, plane_{offset+b})).
 
     ``plane_offset`` selects a disjoint plane set, so banded callers get
-    independent hash families per band from the same deterministic stream."""
+    independent hash families per band from the same deterministic stream.
+
+    Interpreted-HOF reference form — corpus-scaling callers use
+    ``vecmath.banded_buckets`` (one Arrow pass for ALL bands, same bits)."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, plane_offset + p)])
@@ -228,29 +252,19 @@ def embedding_lsh_near_pairs(
       intrinsically unselective — candidates approach all-pairs).
 
     The per-vector signature cost (n_bands * planes_per_band dot products)
-    is embarrassingly parallel and shuffle-free; the only shuffles are the
+    is one Arrow-batched NumPy pass (``vecmath.banded_buckets``) —
+    embarrassingly parallel and shuffle-free; the only shuffles are the
     band equi-join and the final dropDuplicates.
     """
     v = _spread(corpus, id_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            lsh_signature(
-                F.col("vec"), dim, planes_per_band, plane_offset=b * planes_per_band
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
     # probe rows carry ONLY (id, band, bucket): a pair colliding in many
     # bands must still pay the cosine exactly once, so candidates are
     # deduplicated BEFORE the verify (measured 4x on a low-selectivity
     # corpus: the banded join emits ~8x more rows than unique pairs)
-    probe = v.select("id", F.explode(F.array(*bands)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    probe = v.select(
+        "id", banded_buckets(F.col("vec"), dim, n_bands, planes_per_band).alias("band", "bucket")
     )
     a = probe.alias("a")
     b = probe.alias("b")
@@ -264,13 +278,16 @@ def embedding_lsh_near_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -284,39 +301,64 @@ def lsh_bucket_topk(
     n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """ANN top-k by multi-band hyperplane LSH: candidates are corpus rows
     sharing the query's bucket in ANY of ``n_bands`` disjoint plane bands
     (``n_planes`` planes each). Recall for a neighbor at angle theta is
     ``1 - (1 - (1 - theta/pi)^n_planes)^n_bands`` — add bands to raise
     recall, add planes to shrink buckets. ``n_bands=1`` is classic
-    single-probe LSH. The query side is broadcast; the corpus side streams
-    through the band equi-join — no corpus shuffle beyond the spread."""
+    single-probe LSH.
+
+    Two physical strategies, SAME candidate set and output (pick like
+    Catalyst picks a join):
+
+    * ``broadcast_queries=False`` (default, the large-Q scale path): both
+      sides explode to (band, bucket) probe rows and candidates come from a
+      band equi-join — sublinear in corpus x queries, the only plan that
+      survives 10^6 queries.
+    * ``broadcast_queries=True`` (small broadcastable query sets): the
+      plan is EXACTLY brute force's (scan -> broadcast join -> one Arrow
+      pass -> ranking window) with the banded bucket match fused into the
+      scoring UDF as a NULL-mask (``vecmath.masked_cosine_udf``) — zero
+      extra shuffles or Python stages, so the LSH candidate cut actually
+      SHOWS UP as wall-clock win at small Q instead of drowning in
+      explode/dedup exchange overhead.
+    """
     corpus = _spread(corpus, id_col)
 
-    def banded(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        bands = [
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_signature(
-                    F.col(vecname), dim, n_planes, plane_offset=b * n_planes
-                ).alias("bucket"),
+    if broadcast_queries:
+        mc = masked_cosine_udf(dim, n_bands, n_planes)
+        c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+            .select(
+                "query_id",
+                "nbr_id",
+                F.round(
+                    mc(F.col("query_id"), F.col("q_vec"), F.col("nbr_id"), F.col("nbr_vec")), 4
+                ).alias("cosine"),
             )
-            for b in range(n_bands)
-        ]
-        return df.select(idname, vecname, F.explode(F.array(*bands)).alias("bk")).select(
-            idname, vecname, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+            .where(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "nbr_id", "cosine")
         )
 
-    c = banded(
-        corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")),
-        "nbr_id",
-        "nbr_vec",
+    bk = band_buckets_udf(dim, n_bands, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        F.posexplode(bk(F.col(vec_col))).alias("band", "bucket"),
     )
-    q = banded(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "query_id",
-        "q_vec",
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(bk(F.col(vec_col))).alias("band", "bucket"),
     )
     cand = (
         c.join(F.broadcast(q), on=["band", "bucket"])

@@ -1,0 +1,177 @@
+"""Vectorized (Arrow-batched) vector math for the embedding operators.
+
+The interpreted higher-order-function form ``aggregate(zip_with(x, y,
+(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)`` is evaluated expression-tree
+style per element (~26x slower than codegen on this box, see CLAUDE.md).
+These pandas UDFs compute the same values in NumPy — one vectorized pass per
+Arrow batch — while staying BIT-IDENTICAL to the fold, which is what the
+DuckDB oracles (``list_dot_product`` over the same operand types) and the
+frozen gate hashes require:
+
+* products are computed in the COMMON input dtype, exactly like Spark's
+  ``Multiply`` after implicit casts: float32 * float32 stays float32,
+  anything with a double side promotes the float side to double first;
+* each product is then widened to float64 and added to the running sum
+  LEFT-TO-RIGHT over the dimensions (a Python loop over the 64 dims, each
+  step a whole-batch NumPy op — sequential where it must be for bit
+  equality, vectorized where it pays: the row axis).
+
+Never replace the dim loop with ``np.dot``/``einsum``/BLAS: pairwise/SIMD
+summation changes the last ulp, which flips 4-decimal rounding and LSH sign
+bits and silently breaks the oracle twins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    if len(s) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.stack(s.to_numpy())
+
+
+def _seq_dot(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Row-wise dot products: sequential over dims, vectorized over rows.
+
+    Bit-identical to the zip_with/aggregate fold AND to DuckDB's
+    list_dot_product on the equivalently-typed operands (both are
+    left-to-right loops over per-element products)."""
+    dt = np.result_type(X.dtype, Y.dtype)
+    Xp = X.astype(dt, copy=False)
+    Yp = Y.astype(dt, copy=False)
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc += (Xp[:, i] * Yp[:, i]).astype(np.float64, copy=False)
+    return acc
+
+
+@pandas_udf(DoubleType())
+def _cosine_kernel(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    X = _stack(xs)
+    Y = _stack(ys)
+    num = _seq_dot(X, Y)
+    den = np.sqrt(_seq_dot(X, X)) * np.sqrt(_seq_dot(Y, Y))
+    return pd.Series(num / den)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    """Cosine similarity dot(x,y) / (|x| * |y|), one Arrow batch at a time.
+
+    Same value bytes as the interpreted-HOF formulation for every operand
+    typing that occurs in this engine (f32/f32 corpus pairs, f32 query vs
+    f64 centroid)."""
+    return _cosine_kernel(x, y)
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component value from md5
+    bytes of (plane, index). No RNG state — reproducible anywhere, so the
+    DuckDB oracles embed the exact same doubles as literals."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp{plane}:{i}".encode()).digest()
+        v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
+        out.append(v)
+    return out
+
+
+def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
+    """All hyperplane-LSH band buckets in ONE Arrow pass.
+
+    Returns a pandas UDF mapping a vector column to an array of ``n_bands``
+    ints where element ``b`` equals the per-band signature with plane set
+    ``b * planes_per_band .. (b+1) * planes_per_band - 1`` (bit p of band b
+    set iff dot(vec, plane_{b*ppb+p}) >= 0) — the batched twin of
+    ``similarity.lsh_signature`` over every band at once. One UDF invocation
+    replaces ``n_bands * planes_per_band`` interpreted 64-dim folds per row.
+    """
+    total = n_bands * planes_per_band
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
+    )  # (total, dim)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        V = _stack(vecs).astype(np.float64, copy=False)  # planes are double
+        n = V.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        acc = np.zeros((n, total), dtype=np.float64)
+        for i in range(dim):
+            acc += V[:, i : i + 1] * planes[:, i]
+        bits = acc >= 0.0
+        out = (bits.reshape(n, n_bands, planes_per_band) * weights).sum(axis=2)
+        return pd.Series(list(out.astype(np.int32)))
+
+    return _buckets
+
+
+def banded_buckets(vec: Column, dim: int, n_bands: int, planes_per_band: int):
+    """(band, bucket) pair columns via posexplode of the one-pass UDF."""
+    return F.posexplode(band_buckets_udf(dim, n_bands, planes_per_band)(vec))
+
+
+def masked_cosine_udf(dim: int, n_bands: int, planes_per_band: int):
+    """Fused LSH-candidate-mask + cosine for SMALL broadcast query sets.
+
+    Returns a pandas UDF (q_id, q_vec, nbr_id, nbr_vec) -> cosine-or-NULL:
+    NULL unless the
+    pair shares at least one per-band hyperplane bucket (the exact candidate
+    set of the banded equi-join, bit-for-bit — same sequential plane dots).
+    Fusing mask and score into ONE Arrow pass keeps the physical plan
+    identical to brute force (scan -> broadcast join -> one Python eval ->
+    window), so the LSH cut shows up as wall-clock win instead of drowning
+    in extra UDF stages. Per-pair bucket recompute is O(Q x N x planes) —
+    only for the broadcast strategy; the equi-join path owns large Q.
+    """
+    total = n_bands * planes_per_band
+    planes = np.array([_hyperplane(dim, p) for p in range(total)], dtype=np.float64)
+
+    def _sigs(V64: np.ndarray) -> np.ndarray:
+        acc = np.zeros((V64.shape[0], total), dtype=np.float64)
+        for i in range(dim):
+            acc += V64[:, i : i + 1] * planes[:, i]
+        return (acc >= 0.0).reshape(-1, n_bands, planes_per_band)
+
+    def _uniq_sigs(ids: pd.Series, M: np.ndarray) -> np.ndarray:
+        """Signatures per row, computed once per DISTINCT id: the joined
+        batch repeats each query |corpus| times and each corpus row |Q|
+        times, so de-duplicating the sig compute cuts it ~(Q+N)/(Q*N)."""
+        _, idx, inv = np.unique(ids.to_numpy(), return_index=True, return_inverse=True)
+        return _sigs(M[idx].astype(np.float64, copy=False))[inv]
+
+    @pandas_udf(DoubleType())
+    def _masked(
+        q_ids: pd.Series, qs: pd.Series, n_ids: pd.Series, ns: pd.Series
+    ) -> pd.Series:
+        Q = _stack(qs)
+        N = _stack(ns)
+        if Q.shape[0] == 0:
+            return pd.Series([], dtype=np.float64)
+        qb = _uniq_sigs(q_ids, Q)
+        nb = _uniq_sigs(n_ids, N)
+        hit = (qb == nb).all(axis=2).any(axis=1)
+        # NaN marks non-candidates; the pandas->Arrow hop turns float NaN
+        # into SQL NULL, so callers must filter isNotNull (plus ~isnan as a
+        # belt: isnan(NULL) is false in Spark, so isnan alone lets NULLs
+        # through). Assumes no zero-norm vectors (their cosine would be
+        # indistinguishable from a miss).
+        out = np.full(Q.shape[0], np.nan)
+        if hit.any():
+            num = _seq_dot(Q[hit], N[hit])
+            den = np.sqrt(_seq_dot(Q[hit], Q[hit])) * np.sqrt(_seq_dot(N[hit], N[hit]))
+            out[hit] = num / den
+        return pd.Series(out)
+
+    return _masked

@@ -159,3 +159,58 @@ def test_duplicate_components(spark):
     comp = {r["doc_id"]: r["component"] for r in duplicate_components(df).collect()}
     assert all(comp[v] == 1 for v in (1, 2, 3, 4, 5, 6))
     assert comp[10] == 10 and comp[11] == 10
+
+
+def test_vecmath_bit_equal_to_interpreted_fold(spark):
+    """The vectorized NumPy kernels must be BIT-identical to the interpreted
+    zip_with/aggregate fold they replaced (the DuckDB oracles and frozen
+    gate hashes depend on it): f32*f32 products stay f32, mixed promotes,
+    accumulation is sequential-left-to-right in f64."""
+    from tempeh_spark.similarity import _dot, lsh_signature
+    from tempeh_spark.vecmath import band_buckets_udf, cosine, masked_cosine_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")),
+            F.col("ia") < F.col("ib"),
+        )
+    )
+    hof = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    diff = pairs.select(
+        (cosine(F.col("va"), F.col("vb")) == hof).alias("eq")
+    ).where(~F.col("eq"))
+    assert diff.count() == 0
+
+    # banded buckets == per-band interpreted lsh_signature, all bands
+    n_bands, ppb = 4, 3
+    bk = band_buckets_udf(64, n_bands, ppb)(F.col("embedding"))
+    checks = [
+        (F.element_at(bk, b + 1) == lsh_signature(F.col("embedding"), 64, ppb, b * ppb))
+        for b in range(n_bands)
+    ]
+    bad = emb.select(
+        F.array(*checks).alias("ok")
+    ).where(~F.forall(F.col("ok"), lambda x: x))
+    assert bad.count() == 0
+
+    # masked cosine: non-NaN exactly where a band bucket matches, value == cosine
+    mc = masked_cosine_udf(64, n_bands, ppb)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), bk.alias("ba"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), bk.alias("bb"))
+    j = a.join(b, F.col("ia") < F.col("ib")).select(
+        mc(F.col("ia"), F.col("va"), F.col("ib"), F.col("vb")).alias("m"),
+        cosine(F.col("va"), F.col("vb")).alias("c"),
+        F.exists(
+            F.zip_with(F.col("ba"), F.col("bb"), lambda x, y: x == y), lambda z: z
+        ).alias("hit"),
+    )
+    # the NaN miss-marker crosses the Arrow hop as SQL NULL
+    miss = F.col("m").isNull() | F.isnan("m")
+    bad = j.where(
+        (F.col("hit") & (miss | (F.col("m") != F.col("c")))) | (~F.col("hit") & ~miss)
+    )
+    assert bad.count() == 0
