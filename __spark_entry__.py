@@ -615,6 +615,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.multimodal import extract_media_features
 
     media = _docs_as_media(_docs(spark, sf_dir))
+    # the oracle hashes the FULL payload string while the UDF hashes
+    # data[:4096]; enforce the coupling instead of assuming it, so a grown
+    # corpus fails loudly here rather than as a baffling f0 hash mismatch
+    max_bytes = media.agg(F.max(F.length("media"))).first()[0]
+    if max_bytes is not None and max_bytes >= 4096:
+        raise AssertionError(
+            f"media_features oracle contract violated: payload of {max_bytes} "
+            "bytes >= 4096 (the UDF truncates at 4096, the SQL twin cannot)"
+        )
     feats = extract_media_features(media, dim=8)
     return feats.select(
         F.col("media_id").cast("long").alias("media_id"),

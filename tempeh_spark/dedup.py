@@ -516,9 +516,14 @@ def duplicate_components(
             f"duplicate_components did not converge in {max_iter} rounds "
             f"(component diameter exceeds max_iter); raise max_iter"
         )
-    return labels.select(
+    # materialize the answer, then release the loop's cached blocks: a
+    # long-lived session calling this repeatedly must not accumulate
+    # persisted label RDDs in executor storage
+    result = labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return result
 
 
 def embedding_near_pairs(

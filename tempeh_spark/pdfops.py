@@ -270,17 +270,26 @@ def extract_pdf_text_bytes(pdf: bytes) -> tuple[str, int]:
     for mo in _STREAM_RX.finditer(pdf):
         d = mo.group(1)
         start = mo.end()
-        end = pdf.find(b"endstream", start)
-        if end < 0:
-            continue
         # honor /Length when it parses (stream data may legitimately end in
-        # EOL bytes — a blanket rstrip corrupts flate data); else strip the
-        # single EOL the spec requires before `endstream`
+        # EOL bytes — a blanket rstrip corrupts flate data). Validate the
+        # length against the FILE end and locate `endstream` AFTER the
+        # declared data, never against the first occurrence from `start`:
+        # flate bytes can contain the substring "endstream", which would
+        # otherwise reject a perfectly valid /Length and truncate the data.
+        raw = None
         lm = _LENGTH_RX.search(d)
-        if lm and start + int(lm.group(1)) <= end:
-            raw = pdf[start : start + int(lm.group(1))]
-        else:
+        if lm:
+            length = int(lm.group(1))
+            if start + length <= len(pdf):
+                tail = pdf.find(b"endstream", start + length)
+                if tail >= 0 and pdf[start + length : tail].strip(b"\r\n \t") == b"":
+                    raw = pdf[start : start + length]
+        if raw is None:
+            end = pdf.find(b"endstream", start)
+            if end < 0:
+                continue
             raw = pdf[start:end]
+            # strip the single EOL the spec requires before `endstream`
             if raw.endswith(b"\r\n"):
                 raw = raw[:-2]
             elif raw.endswith((b"\n", b"\r")):

@@ -169,10 +169,23 @@ def run_extraction_job(
         # only exposes v1 parquet tables, which the v2 writer refuses
         # ("Cannot write into v1 table") — fall back to the v1 writer with
         # identical append-or-create semantics so the same job code runs in
-        # both worlds.
+        # both worlds. The fallback is NARROW: only the two expected
+        # conditions (v1-table refusal, table does not exist yet) reroute;
+        # any other analysis failure (schema mismatch, bad catalog, missing
+        # column) must surface, not silently create a parquet table where
+        # an Iceberg table was intended.
         try:
             extracted.writeTo(output).append()
-        except AnalysisException:
+        except AnalysisException as e:
+            get_cls = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cls = (get_cls() if get_cls else None) or ""
+            msg = str(e)
+            v1_refusal = "UNSUPPORTED_TABLE_OPERATION" in cls or "v1 table" in msg
+            missing = "TABLE_OR_VIEW_NOT_FOUND" in cls or "not found" in msg.lower()
+            if not (v1_refusal or missing):
+                raise
             extracted.write.mode("append").format("parquet").saveAsTable(output)
     else:
         extracted.write.mode("append").parquet(output)
