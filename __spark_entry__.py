@@ -263,9 +263,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash pairs on a deterministic 1-in-5 corpus slice: 16 bits
+    SATURATE (66% of all pairs sit within hamming 6 at sf0.1 — documented
+    hash-saturation demo), so the full-corpus gate emitted 8.2 M rows that
+    proved nothing simhash60_pairs (full corpus, unsaturated) doesn't. The
+    slice keeps the operator + oracle coverage at ~1/25 the output volume;
+    the 16-bit config is additionally unit-tested on the full test corpus."""
     from tempeh_spark.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6).select(
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return simhash_near_pairs(docs, max_hamming=6).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -411,6 +418,43 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lsh_topk", lsh, brute, ["query_id", "nbr_id"]))
         .unionByName(one("lsh_pairs", lshp, exact, ["id_a", "id_b"]))
     )
+
+
+# Pinned recall minima for every approximate method at the gate parameters.
+# ann_recall alone is a TWIN (both engines recompute recall from shared
+# parameters), so a parameter change that degrades recall identically in
+# both engines keeps it green; these literals make such a regression fail
+# loudly (verified: lowering lsh_topk to n_bands=6 flips its row to false).
+_RECALL_FLOORS = {
+    "ivf_topk": 0.10,  # single own-cell probe — low by design, see ivf_probe
+    "ivf_probe_topk": 0.40,
+    "lsh_topk": 0.90,
+    "lsh_pairs": 0.99,
+}
+
+
+def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floors as a literal oracle: measured recall (computed by the
+    engine under test) must clear the VALUES-pinned minimum per method. The
+    banded simhash paths need no floor here — their full-pair oracles
+    (simhash_pairs/simhash60_pairs) already pin recall at exactly 1.0."""
+    rec = q_ann_recall(spark, sf_dir)
+    floor = F.lit(None).cast("double")
+    for m, f in _RECALL_FLOORS.items():
+        floor = F.when(F.col("method") == m, F.lit(f)).otherwise(floor)
+    return rec.select(
+        "method",
+        F.round(floor, 2).alias("floor"),
+        (F.col("recall") >= floor).alias("ok"),
+    )
+
+
+def _oracle_ann_recall_floor() -> str:
+    # DOUBLE cast: DuckDB types a bare 0.1 VALUES literal as DECIMAL, whose
+    # textual form ('0.10') wouldn't hash-match Spark's double
+    rows = [(m, f, True) for m, f in sorted(_RECALL_FLOORS.items())]
+    inner = _values_sql(rows, ["method", "floor", "ok"])
+    return f"SELECT method, floor::DOUBLE AS floor, ok FROM ({inner}) v"
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ann_recall": q_ann_recall,
+        "ann_recall_floor": q_ann_recall_floor,
         "hourly_events": q_hourly_events,
         "streaming_hourly": q_streaming_hourly,
         "sessionize": q_sessionize,
@@ -859,7 +904,7 @@ FROM crossed GROUP BY 1, 2
 """
 
 
-def _simhash_cte(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16, where: str = "") -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
@@ -871,7 +916,7 @@ def _simhash_cte(bits: int = 16) -> str:
 toks AS (
   SELECT doc_id, unnest(list_filter(string_split({NORM_SQL.format(c='text')}, ' '),
                                     x -> x <> '')) AS tok
-  FROM documents
+  FROM documents {where}
 ),
 hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, {bits // 4}))::BIGINT AS hv FROM toks
@@ -885,12 +930,12 @@ sh AS (SELECT doc_id, ({total})::BIGINT AS simhash FROM votes)
 """
 
 
-def _oracle_simhash_pairs(bits: int = 16, max_hamming: int = 6) -> str:
+def _oracle_simhash_pairs(bits: int = 16, max_hamming: int = 6, where: str = "") -> str:
     """FULL-PAIR ground truth — no bucket restriction. The Spark operator's
     banded equi-join must reproduce this exactly, so the gate checks the
     candidate-generation recall for real (not a tautology)."""
     return f"""
-WITH {_simhash_cte(bits).strip()}
+WITH {_simhash_cte(bits, where).strip()}
 SELECT a.doc_id::BIGINT AS id_a, c.doc_id::BIGINT AS id_b,
        bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
 FROM sh a JOIN sh c ON a.doc_id < c.doc_id
@@ -1314,12 +1359,13 @@ FROM documents GROUP BY 1
         "dup_components": _oracle_dup_components(),
         "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
-        "simhash_pairs": _oracle_simhash_pairs(),
+        "simhash_pairs": _oracle_simhash_pairs(where="WHERE doc_id % 5 = 0"),
         "simhash60_pairs": _oracle_simhash_pairs(bits=60, max_hamming=6),
         "lsh_topk": _oracle_lsh_topk(),
         "ivf_probe_topk": _oracle_ivf_probe_topk(),
         "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
         "ann_recall": _oracle_ann_recall(),
+        "ann_recall_floor": _oracle_ann_recall_floor(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),
