@@ -294,6 +294,23 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: exact-digest edges + verified
+    minhash-LSH near-dup edges -> connected components -> one
+    (doc_id, keeper, keep) row per document. Oracle = recursive-CTE
+    transitive closure over an equivalent edge set + left join documents."""
+    from tempeh_spark.dedup import dedup_decisions
+
+    return dedup_decisions(
+        _docs(spark, sf_dir), num_perm=16, bands=4, ngram=8,
+        verify_threshold=0.3, max_chars=300,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"),
+        "keep",
+    )
+
+
 def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale simhash configuration: 60-bit hash (16-bit saturates
     — most pairs collide within small hamming), 7 bands of 8-9 bits, exact
@@ -678,6 +695,106 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# media_dims gate spec: ONE variant table drives both the Spark payload
+# construction (real binary containers from multimodal.make_*) and the
+# DuckDB oracle (a CASE over doc_id % 9 with the fields the decoder must
+# recover). The decoder parses actual bytes; the oracle predicts from the
+# generative formula — a true twin for binary-format decoding that VARCHAR-
+# only DuckDB could never hash directly.
+_JPEG_ERR = (
+    "jpeg: payload decode requires codec libraries not present in this "
+    "environment; wire PIL/av/librosa here for production"
+)
+_DIM_VARIANTS = [
+    # (builder-kind, args, fmt, width, height, channels, rate, duration_ms, error)
+    ("wav", (44100, 2, 16, 1764), "wav", None, None, 2, 44100, 10, None),
+    ("wav", (8000, 1, 8, 2000), "wav", None, None, 1, 8000, 250, None),
+    ("wav", (22050, 1, 16, 441), "wav", None, None, 1, 22050, 10, None),
+    ("gif87", (320, 200), "gif", 320, 200, None, None, None, None),
+    ("gif", (1024, 768), "gif", 1024, 768, None, None, None, None),
+    ("png", (640, 480), "png", 640, 480, None, None, None, None),
+    ("png", (16, 16), "png", 16, 16, None, None, None, None),
+    ("jpeg", (), None, None, None, None, None, None, _JPEG_ERR),
+    ("junk", (), None, None, None, None, None, None, "unsupported format: unknown"),
+]
+
+
+def _dim_header(kind: str, args: tuple) -> bytes:
+    from tempeh_spark.multimodal import make_gif, make_png, make_wav
+
+    if kind == "wav":
+        return make_wav(*args)
+    if kind == "gif87":
+        return make_gif(*args, version=b"GIF87a")
+    if kind == "gif":
+        return make_gif(*args)
+    if kind == "png":
+        return make_png(*args)
+    if kind == "jpeg":
+        return b"\xff\xd8\xff\xe0\x00\x10JFIF"
+    return b"JUNK0000"  # no magic matches; bytes 4:8 != 'ftyp'
+
+
+def _docs_as_dim_media(df: DataFrame) -> DataFrame:
+    mod = len(_DIM_VARIANTS)
+    expr = F.when(F.col("doc_id") % mod == 0, F.lit(_dim_header(*_DIM_VARIANTS[0][:2])))
+    for i, v in enumerate(_DIM_VARIANTS[1:], start=1):
+        expr = expr.when(F.col("doc_id") % mod == i, F.lit(_dim_header(v[0], v[1])))
+    expr = expr.otherwise(F.lit(b""))  # unreachable: % mod covers 0..mod-1
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        # trailing text bytes after each valid container: the decoder must
+        # honor DECLARED sizes, never len(payload)
+        F.concat(expr, F.encode(F.col("text"), "UTF-8")).alias("media"),
+    )
+
+
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stdlib media decoding: WAV fmt/data chunk walk (channels, rate,
+    duration), PNG IHDR and GIF screen-descriptor dimensions, parsed from
+    actual container bytes built by multimodal.make_*; codec-requiring
+    formats surface as per-row errors."""
+    from tempeh_spark.multimodal import media_dims
+
+    media = _docs_as_dim_media(_docs(spark, sf_dir))
+    return media_dims(media).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "fmt",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate_hz").cast("int").alias("sample_rate_hz"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "error",
+    )
+
+
+def _oracle_media_dims() -> str:
+    def case(col_idx: int, sql_type: str) -> str:
+        whens = []
+        for i, v in enumerate(_DIM_VARIANTS):
+            val = v[col_idx]
+            if val is None:
+                continue
+            lit = "'" + str(val).replace("'", "''") + "'" if isinstance(val, str) else str(val)
+            whens.append(f"WHEN {i} THEN {lit}")
+        if not whens:
+            return f"CAST(NULL AS {sql_type})"
+        return f"CAST(CASE (doc_id % {len(_DIM_VARIANTS)}) {' '.join(whens)} ELSE NULL END AS {sql_type})"
+
+    return f"""
+SELECT doc_id::BIGINT AS media_id,
+       {case(2, 'VARCHAR')} AS fmt,
+       {case(3, 'INTEGER')} AS width,
+       {case(4, 'INTEGER')} AS height,
+       {case(5, 'INTEGER')} AS channels,
+       {case(6, 'INTEGER')} AS sample_rate_hz,
+       {case(7, 'BIGINT')} AS duration_ms,
+       {case(8, 'VARCHAR')} AS error
+FROM documents
+"""
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout leg: documents -> deterministic synthetic PDFs (FlateDecode
     content streams) -> pure-stdlib text extraction. The oracle is the
@@ -724,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dup_components": q_dup_components,
+        "dedup_decisions": q_dedup_decisions,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -746,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
+        "media_dims": q_media_dims,
     }
 
 
@@ -890,6 +1009,36 @@ reach (s, d) AS (
 )
 SELECT s::BIGINT AS doc_id, least(s, min(d))::BIGINT AS component
 FROM reach GROUP BY s
+"""
+
+
+def _oracle_dedup_decisions() -> str:
+    """Transitive closure over minhash-LSH pairs UNION exact-digest cliques,
+    then every document left-joined in (singletons keep themselves)."""
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes().strip()},
+dig AS (
+  SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS g FROM documents
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+  UNION
+  SELECT a.doc_id, b.doc_id FROM dig a JOIN dig b ON a.g = b.g AND a.doc_id <> b.doc_id
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+)
+SELECT documents.doc_id::BIGINT AS doc_id,
+       coalesce(comp.component, documents.doc_id)::BIGINT AS keeper,
+       (coalesce(comp.component, documents.doc_id) = documents.doc_id) AS keep
+FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
 """
 
 
@@ -1357,6 +1506,7 @@ FROM documents GROUP BY 1
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_lsh": _oracle_minhash_lsh(),
         "dup_components": _oracle_dup_components(),
+        "dedup_decisions": _oracle_dedup_decisions(),
         "minhash_signatures": _oracle_minhash_signatures(),
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(where="WHERE doc_id % 5 = 0"),
@@ -1427,4 +1577,5 @@ GROUP BY 1
 """,
         "media_meta": _oracle_media_meta(),
         "media_features": _oracle_media_features(),
+        "media_dims": _oracle_media_dims(),
     }

@@ -526,6 +526,61 @@ def duplicate_components(
     return result
 
 
+def dedup_decisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 8,
+    verify_threshold: float = 0.4,
+    max_chars: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """The end-to-end dedup deliverable a training-data pipeline consumes:
+    one row per input document — ``(doc_id, keeper, keep)``.
+
+    Composition of the operators above:
+
+    1. edges = EXACT duplicate pairs (same normalized-text digest — star
+       edges to the group min; catches documents too short to shingle)
+       UNION verified minhash-LSH near-dup pairs;
+    2. connected components over the union (min-label propagation);
+    3. keeper = min doc id of the component; singletons keep themselves;
+       ``keep = (doc_id == keeper)``.
+
+    Scale shape: both edge producers are bucketed equi-joins, the closure
+    is the checkpointed iterative loop, and the final assignment is one
+    left join on doc id. The DuckDB oracle recomputes the transitive
+    closure over an equivalent edge set (full exact-dup cliques vs star
+    edges — same components by construction)."""
+    near = minhash_lsh_pairs(
+        df, id_col, text_col, num_perm, bands, ngram, verify_threshold, max_chars
+    ).select("id_a", "id_b")
+    dig = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("digest"),
+    )
+    grp = dig.groupBy("digest").agg(F.min("id").alias("keeper"))
+    exact = (
+        dig.join(grp, "digest")
+        .where(F.col("id") != F.col("keeper"))
+        .select(F.col("keeper").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    comp = duplicate_components(near.unionByName(exact), max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+            (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

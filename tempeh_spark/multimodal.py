@@ -90,13 +90,66 @@ def _fake_feature(data: bytes, dim: int = 16) -> list[float]:
     return out
 
 
-def decode_media(data: bytes) -> np.ndarray:
-    """The real decode hook. No codec libraries ship in this container."""
-    raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "environment; wire a real decoder here (PIL/av/librosa) for "
-        "production use"
-    )
+def decode_media_headers(data: bytes) -> dict:
+    """REAL pure-stdlib container decoding for the header-decodable subset:
+
+    * WAV  — RIFF chunk walk: channels / sample rate / bits from ``fmt ``,
+      duration from the ``data`` chunk size over the byte rate;
+    * PNG  — IHDR width/height (big-endian u32 at offsets 16/20, after
+      validating the 8-byte signature and the IHDR chunk tag);
+    * GIF  — logical screen width/height (little-endian u16 at 6/8).
+
+    Returns ``{"fmt", "width", "height", "channels", "sample_rate_hz",
+    "duration_ms"}`` with None for fields the format lacks. Raises
+    ``NotImplementedError`` for formats whose payload needs a codec this
+    container doesn't ship (jpeg pixels, mp4 frames), ``ValueError`` for
+    malformed/unsupported bytes. Trailing junk after a valid container is
+    ignored (sizes come from the declared fields, never from len(data))."""
+    import struct
+
+    magic = sniff_magic(data)
+    if magic == "gif":
+        if len(data) < 10:
+            raise ValueError("gif: truncated logical screen descriptor")
+        w, h = struct.unpack_from("<HH", data, 6)
+        return {"fmt": "gif", "width": w, "height": h, "channels": None,
+                "sample_rate_hz": None, "duration_ms": None}
+    if magic == "png":
+        if data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR" or len(data) < 24:
+            raise ValueError("png: bad signature or missing IHDR")
+        w, h = struct.unpack_from(">II", data, 16)
+        return {"fmt": "png", "width": w, "height": h, "channels": None,
+                "sample_rate_hz": None, "duration_ms": None}
+    if magic == "riff" and data[8:12] == b"WAVE":
+        channels = rate = byte_rate = data_size = None
+        off = 12
+        while off + 8 <= len(data):
+            cid, size = data[off : off + 4], struct.unpack_from("<I", data, off + 4)[0]
+            if off + 8 + size > len(data):  # declared size exceeds the
+                break  # available bytes: trailing junk, stop the walk
+            if cid == b"fmt " and size >= 16:
+                _, channels, rate, byte_rate = struct.unpack_from("<HHII", data, off + 8)
+            elif cid == b"data":
+                data_size = size
+            if channels is not None and data_size is not None:
+                break
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+        if channels is None or data_size is None or not byte_rate:
+            raise ValueError("wav: missing fmt or data chunk")
+        return {"fmt": "wav", "width": None, "height": None, "channels": channels,
+                "sample_rate_hz": rate, "duration_ms": data_size * 1000 // byte_rate}
+    if magic in ("jpeg", "mp4", "mp3"):
+        raise NotImplementedError(
+            f"{magic}: payload decode requires codec libraries not present "
+            "in this environment; wire PIL/av/librosa here for production"
+        )
+    raise ValueError(f"unsupported format: {magic}")
+
+
+def decode_media(data: bytes) -> dict:
+    """The decode hook: header-level decode for wav/png/gif (real, stdlib);
+    ``NotImplementedError`` for codec-requiring payloads (jpeg/mp4/mp3)."""
+    return decode_media_headers(data)
 
 
 def extract_media_features(
@@ -127,7 +180,7 @@ def extract_media_features(
                 if strict:
                     try:
                         decode_media(b)
-                    except NotImplementedError as e:
+                    except (NotImplementedError, ValueError) as e:
                         rows.append((mid, len(b), magic, None, 0, str(e)))
                         continue
                 feat = _fake_feature(b, dim)
@@ -138,6 +191,88 @@ def extract_media_features(
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def make_wav(sample_rate: int, channels: int, bits: int, data_bytes: int) -> bytes:
+    """A minimal VALID WAV container (silence) — fmt + data chunks with
+    correct declared sizes, used to build decoder test/gate corpora."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_bytes) + b"\x00" * data_bytes
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_gif(width: int, height: int, version: bytes = b"GIF89a") -> bytes:
+    """A GIF header + logical screen descriptor (no image data needed for
+    dimension decoding)."""
+    import struct
+
+    return version + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def make_png(width: int, height: int) -> bytes:
+    """PNG signature + IHDR chunk (valid CRC not required by the decoder,
+    which validates signature + tag + reads the fixed-offset dims)."""
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+MEDIA_DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def media_dims(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """``mapInPandas`` header decoding over a binary media column: REAL
+    decoded fields (wav channels/rate/duration, png+gif dimensions) with a
+    per-row error channel — codec-requiring formats (jpeg/mp4/mp3 payloads)
+    yield an error row, never a job abort."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                if data is None:
+                    rows.append((mid, None, None, None, None, None, None, "null media"))
+                    continue
+                try:
+                    d = decode_media_headers(bytes(data))
+                    rows.append(
+                        (mid, d["fmt"], d["width"], d["height"], d["channels"],
+                         d["sample_rate_hz"], d["duration_ms"], None)
+                    )
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((mid, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "channels",
+                         "sample_rate_hz", "duration_ms", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(gen, MEDIA_DIMS_SCHEMA)
 
 
 # container/codec signature -> media kind; RIFF is ambiguous and needs the

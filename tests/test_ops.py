@@ -214,3 +214,79 @@ def test_vecmath_bit_equal_to_interpreted_fold(spark):
         (F.col("hit") & (miss | (F.col("m") != F.col("c")))) | (~F.col("hit") & ~miss)
     )
     assert bad.count() == 0
+
+
+def test_media_dims_decoding(spark):
+    """Real stdlib container decoding: WAV chunk walk, PNG IHDR, GIF screen
+    descriptor — correct fields, declared-size semantics (trailing junk
+    ignored), per-row errors on malformed/codec-requiring payloads."""
+    from tempeh_spark.multimodal import (
+        decode_media_headers,
+        make_gif,
+        make_png,
+        make_wav,
+        media_dims,
+    )
+
+    wav = make_wav(44100, 2, 16, 88200)
+    d = decode_media_headers(wav + b"trailing junk after the container")
+    assert (d["fmt"], d["channels"], d["sample_rate_hz"], d["duration_ms"]) == (
+        "wav", 2, 44100, 500,
+    )
+    d = decode_media_headers(make_png(1920, 1080) + b"junk")
+    assert (d["fmt"], d["width"], d["height"]) == ("png", 1920, 1080)
+    d = decode_media_headers(make_gif(13, 7, version=b"GIF87a"))
+    assert (d["fmt"], d["width"], d["height"]) == ("gif", 13, 7)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media_headers(b"\xff\xd8\xff\xe0jpegdata")
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"GIF87a")  # truncated screen descriptor
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"\x89PNG\r\n\x1a\x00 not a real png")
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"plain text")
+
+    rows = [
+        (1, make_wav(8000, 1, 8, 4000)),
+        (2, make_gif(320, 200)),
+        (3, b"\xff\xd8\xffjpeg"),
+        (4, None),
+        (5, b"not media"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: r for r in media_dims(media).collect()}
+    assert out[1]["fmt"] == "wav" and out[1]["duration_ms"] == 500
+    assert out[2]["width"] == 320 and out[2]["error"] is None
+    assert out[3]["error"] is not None and "codec" in out[3]["error"]
+    assert out[4]["error"] == "null media"
+    assert out[5]["error"] == "unsupported format: unknown"
+
+
+def test_dedup_decisions_composition(spark):
+    """dedup_decisions must merge exact-digest edges (docs too short to
+    shingle) with minhash near-dup edges and give every doc a row."""
+    from tempeh_spark.dedup import dedup_decisions
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (2, base + " near duplicate tail"),  # near-dup of 1 via minhash
+        (3, "hi"),  # too short to shingle (ngram=8)...
+        (4, "HI  "),  # ...but exact-dup of 3 after normalization
+        (5, "completely different unique content nothing shares this text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_decisions(
+        df, num_perm=16, bands=4, ngram=8, verify_threshold=0.3
+    ).collect()}
+    assert len(out) == 5
+    assert out[1]["keep"] and out[1]["keeper"] == 1
+    assert not out[2]["keep"] and out[2]["keeper"] == 1
+    assert out[3]["keep"] and out[3]["keeper"] == 3
+    assert not out[4]["keep"] and out[4]["keeper"] == 3
+    assert out[5]["keep"] and out[5]["keeper"] == 5
