@@ -590,6 +590,50 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_events(spark, f"{sf_dir}/events.parquet")
 
 
+def q_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming path, gated end-to-end: documents -> pages
+    parquet source -> ``readStream`` -> watermark + url dedup -> Arrow
+    parse UDF -> exactly-once PARQUET FILE SINK with checkpoint
+    (run_stream_to_parquet) -> read back -> roundtrip check. Unlike
+    streaming_hourly (whose availableNow drain uses a memory sink as gate
+    plumbing), this exercises the checkpointed file-sink commit protocol a
+    100 TB deployment actually runs."""
+    import tempfile
+
+    from tempeh_spark.streaming import run_stream_to_parquet
+
+    pages = _docs_as_pages(_docs(spark, sf_dir)).select(
+        "url",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+    )
+    base = tempfile.mkdtemp(prefix="tempeh_stream_gate_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    pages.repartition(4).write.parquet(src)
+    q = run_stream_to_parquet(spark, src, out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out).select(
+        F.substring("url", 7, 100).cast("long").alias("doc_id"),
+        F.col("main_text").alias("main_text"),
+        F.col("error").alias("err"),
+    )
+    src_text = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("src_text"))
+    result = (
+        back.join(src_text, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("err").isNull() & (F.col("main_text") == F.col("src_text"))).alias(
+                "roundtrip_ok"
+            ),
+        )
+        .localCheckpoint(eager=True)  # materialize before the tmp dir goes
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -858,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_floor": q_ann_recall_floor,
         "hourly_events": q_hourly_events,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_sink": q_streaming_sink,
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
         "q1_pricing": q_q1_pricing,
@@ -1533,6 +1578,11 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """,
+        # file-sink streaming gate: exactly-once parquet sink + checkpoint,
+        # every document must roundtrip byte-identically through the stream
+        "streaming_sink": (
+            "SELECT doc_id::BIGINT AS doc_id, true AS roundtrip_ok FROM documents"
+        ),
         "sessionize": """
 WITH g AS (
   SELECT user_id, ts,

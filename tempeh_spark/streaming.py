@@ -131,12 +131,19 @@ def stream_sessionize(
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     per-user session counting with a ``gap_minutes`` inactivity rule.
 
-    State per user = (last event epoch, sessions so far, events so far);
-    each micro-batch folds its events into the state and emits the running
-    totals, so arbitrary batch boundaries (one file per trigger here) give
-    the same final answer as the batch window-function sessionizer — which
-    is exactly what tests assert. ``availableNow`` drains the backlog; the
-    caller takes the per-user max (counters are monotonic).
+    State per user = the MERGED SESSION INTERVALS seen so far (start/end
+    epoch arrays) plus the event count. Each micro-batch folds its events
+    in as point intervals and re-merges under the gap rule, so the final
+    answer equals the batch window-function sessionizer for ARBITRARY batch
+    boundaries AND arbitrary event-time arrival order — a later trigger
+    delivering older events correctly bridges (merges) two previously
+    separate sessions. (A scalar last-epoch state can't do that: out-of-
+    order arrival would undercount or miscount sessions; FileStreamSource
+    orders files by mtime, not event time.) State size is O(open sessions
+    per user), bounded in production by evicting intervals older than the
+    watermark. ``availableNow`` drains the backlog; the final row per user
+    is the one with the highest n_events (n_sessions itself is NOT
+    monotonic — a bridging event can merge two intervals).
     """
     import uuid
 
@@ -144,6 +151,7 @@ def stream_sessionize(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         LongType,
         StructField,
         StructType,
@@ -158,29 +166,36 @@ def stream_sessionize(
     )
     state_schema = StructType(
         [
-            StructField("last_epoch", LongType()),
-            StructField("n_sessions", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
             StructField("n_events", LongType()),
         ]
     )
     gap_s = gap_minutes * 60
 
     def fold(key, pdfs, state: GroupState):
-        events = pd.concat(list(pdfs))
-        events = events.sort_values(["epoch", "event_id"])
+        new_eps: list[int] = []
+        for pdf in pdfs:
+            new_eps.extend(int(e) for e in pdf["epoch"])
         if state.exists:
-            last_epoch, n_sessions, n_events = state.get
+            starts, ends, n_events = state.get
+            intervals = [[int(s), int(e)] for s, e in zip(starts, ends)]
         else:
-            last_epoch, n_sessions, n_events = None, 0, 0
-        for ep in events["epoch"]:
-            ep = int(ep)
-            if last_epoch is None or ep - last_epoch > gap_s:
-                n_sessions += 1
-            last_epoch = ep
-            n_events += 1
-        state.update((last_epoch, n_sessions, n_events))
+            intervals, n_events = [], 0
+        intervals.extend([e, e] for e in new_eps)
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s, e in intervals:
+            if merged and s - merged[-1][1] <= gap_s:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        n_events += len(new_eps)
+        state.update(
+            ([m[0] for m in merged], [m[1] for m in merged], n_events)
+        )
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+            {"user_id": [key[0]], "n_sessions": [len(merged)], "n_events": [n_events]}
         )
 
     schema = spark.read.parquet(events_path).schema
@@ -194,9 +209,11 @@ def stream_sessionize(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     out = _drain_to_df(updates, "update", f"stream_sessions_{uuid.uuid4().hex[:8]}")
-    # running counters are monotonic: the final value per user is the max
+    # n_events is monotonic per user, so max_by(n_sessions, n_events) picks
+    # each user's LAST emission (n_sessions alone is not monotonic: an
+    # out-of-order bridging event merges two intervals and lowers it)
     return out.groupBy("user_id").agg(
-        F.max("n_sessions").cast("long").alias("n_sessions"),
+        F.max_by("n_sessions", "n_events").cast("long").alias("n_sessions"),
         F.max("n_events").cast("long").alias("n_events"),
     )
 

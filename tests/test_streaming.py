@@ -107,3 +107,56 @@ def test_stateful_stream_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert out == batch
+
+
+def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
+    """A later trigger delivering OLDER events must bridge two previously
+    separate sessions (interval-merge state): stream == batch sessionizer
+    even when file arrival order disagrees with event time."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tempeh_spark.streaming import stream_sessionize
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string, value double"
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        )
+
+    src = str(tmp_path / "ooo_src")
+    # batch 1 (older mtime, NEWER events): u1 at 10:00 and 11:00 — two
+    # sessions under a 30-min gap... until batch 2 bridges them
+    mk([
+        (1, 1, "c", "2024-01-01 10:00:00", 0.0),
+        (2, 1, "c", "2024-01-01 11:00:00", 0.0),
+        (3, 2, "c", "2024-01-01 09:00:00", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2 (newer mtime, OLDER event): u1 at 10:30 bridges the gap ->
+    # ONE session; u2 gets a genuinely new later session
+    mk([
+        (4, 1, "c", "2024-01-01 10:30:00", 0.0),
+        (5, 2, "c", "2024-01-01 12:00:00", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in stream_sessionize(spark, src, gap_minutes=30).collect()}
+    assert out[1] == (1, 3)  # bridged: n_sessions DECREASED across batches
+    assert out[2] == (2, 2)
+
+    e = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert out == batch
