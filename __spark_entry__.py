@@ -474,6 +474,183 @@ def _oracle_ann_recall_floor() -> str:
     return f"SELECT method, floor::DOUBLE AS floor, ok FROM ({inner}) v"
 
 
+# Deterministic line injection for the line-dedup gate: break the single-
+# line documents into 8-word lines with a regex BOTH engines execute
+# identically (leftmost, non-overlapping, greedy \S+ — same in Java regex
+# and RE2): every 8th inter-word space becomes a newline.
+_LINE_RX = r"((\S+ ){7}\S+) "
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup: any 8-word line whose normalized form
+    appears in more than one document is dropped from every document."""
+    from tempeh_spark.corpusops import segment_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", _LINE_RX, "$1\n").alias("text")
+    )
+    out = segment_dedup(docs, sep="\n", max_df=1)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode("clean_text", "UTF-8")).alias("clean_md5"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+def _oracle_line_dedup() -> str:
+    return rf"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '((\S+ ){{7}}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos,
+         unnest(string_split(t, chr(10))) AS seg
+  FROM lined
+),
+dfreq AS (
+  SELECT md5(lower(trim(seg))) AS h, count(DISTINCT doc_id) AS df
+  FROM segs GROUP BY 1
+),
+kept AS (
+  SELECT doc_id, pos, seg FROM segs JOIN dfreq ON md5(lower(trim(seg))) = h
+  WHERE df <= 1
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS ct, count(*) AS nk
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS t FROM segs GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id,
+       md5(coalesce(a.ct, '')) AS clean_md5,
+       coalesce(a.nk, 0)::BIGINT AS n_kept,
+       (tot.t - coalesce(a.nk, 0))::BIGINT AS n_dropped
+FROM documents d JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+_GOPHER = dict(min_words=40, max_words=100_000, min_mwl=2.0, max_mwl=12.0,
+               min_alpha=0.8, max_top=0.25)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality signals + keep decision over the documents."""
+    from tempeh_spark.corpusops import gopher_quality
+
+    return gopher_quality(
+        _docs(spark, sf_dir),
+        min_words=_GOPHER["min_words"], max_words=_GOPHER["max_words"],
+        min_mean_word_len=_GOPHER["min_mwl"], max_mean_word_len=_GOPHER["max_mwl"],
+        min_alpha_word_frac=_GOPHER["min_alpha"], max_top_word_frac=_GOPHER["max_top"],
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "mean_word_len", "alpha_word_frac", "top_word_frac", "keep",
+    )
+
+
+def _oracle_gopher_quality() -> str:
+    g = _GOPHER
+    return r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS total, max(c) AS top_c,
+         sum(length(w) * c) AS chars,
+         sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN c ELSE 0 END) AS alpha
+  FROM wc GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(total, 0)::BIGINT AS n_words,
+       round(coalesce(chars / total, 0), 4) AS mean_word_len,
+       round(coalesce(alpha / total, 0), 4) AS alpha_word_frac,
+       round(coalesce(top_c / total, 0), 4) AS top_word_frac,
+       (coalesce(total, 0) >= {min_words} AND coalesce(total, 0) <= {max_words}
+        AND round(coalesce(chars / total, 0), 4) >= {min_mwl}
+        AND round(coalesce(chars / total, 0), 4) <= {max_mwl}
+        AND round(coalesce(alpha / total, 0), 4) >= {min_alpha}
+        AND round(coalesce(top_c / total, 0), 4) <= {max_top}) AS keep
+FROM documents d LEFT JOIN agg USING (doc_id)
+""".format(**g)
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (crawl-skew control): synthetic hosts derived
+    deterministically from doc ids, cap 10 docs per host."""
+    from tempeh_spark.corpusops import per_host_cap
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "", F.lit("https://h"), F.col("doc_id") % 37, F.lit(".example.com/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    return per_host_cap(pages, cap=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "host",
+        F.col("host_rank").cast("long").alias("host_rank"), "keep",
+    )
+
+
+def _oracle_host_cap() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id, 'h' || (doc_id % 37) || '.example.com' AS host FROM documents
+),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id ASC) AS host_rank
+  FROM p
+)
+SELECT doc_id::BIGINT AS doc_id, host, host_rank::BIGINT AS host_rank,
+       (host_rank <= 10) AS keep
+FROM r
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any distinct 8-word
+    shingle with the benchmark subset (doc_id % 29 == 0) are flagged."""
+    from tempeh_spark.corpusops import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return decontaminate(docs, bench, ngram=8, min_hits=1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contaminated",
+    )
+
+
+def _oracle_decontaminate() -> str:
+    return r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 7, 0)),
+           i -> array_to_string(ws[i:i+7], ' '))) AS gs
+  FROM w
+),
+cs AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+bs AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 29 = 0),
+hits AS (SELECT doc_id, count(*) AS n FROM cs JOIN bs USING (g) GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n, 0)::BIGINT AS n_hits,
+       (coalesce(n, 0) >= 1) AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import (
         fingerprint,
@@ -891,6 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash60_pairs": q_simhash60_pairs,
         "lsh_topk": q_lsh_topk,
+        "line_dedup": q_line_dedup,
+        "gopher_quality": q_gopher_quality,
+        "host_cap": q_host_cap,
+        "decontaminate": q_decontaminate,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1561,6 +1742,10 @@ FROM documents GROUP BY 1
         "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
         "ann_recall": _oracle_ann_recall(),
         "ann_recall_floor": _oracle_ann_recall_floor(),
+        "line_dedup": _oracle_line_dedup(),
+        "gopher_quality": _oracle_gopher_quality(),
+        "host_cap": _oracle_host_cap(),
+        "decontaminate": _oracle_decontaminate(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),

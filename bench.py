@@ -47,6 +47,9 @@ SUITE = (
     "simhash_pairs",
     "simhash60_pairs",
     "text_analysis",
+    "line_dedup",
+    "gopher_quality",
+    "decontaminate",
     "embedding_neardup",
     "embedding_lsh_neardup",
     "brute_topk",

@@ -1,0 +1,216 @@
+"""Corpus-level cleaning operators a web-scale training-data pipeline runs
+between extraction and tokenization: C4-style global line dedup, Gopher-
+style document quality filtering, per-host caps, and benchmark
+decontamination.
+
+Scale shapes (all shuffles are hash-partitioned equi-joins or aggs):
+
+* ``segment_dedup`` — explode segments -> one global hash-agg for segment
+  document-frequency (map-side combined) -> semi-join kept segments back ->
+  per-doc reassembly agg. Two shuffles over segment rows, one over docs.
+* ``gopher_quality`` — per-doc signals in pure codegen except the top-word
+  fraction, which is one explode + two hash-aggs (word counts are map-side
+  combined; no joins carry documents).
+* ``per_host_cap`` — one window over hosts (shuffle keyed by host); the
+  cap turns crawl-frontier skew (one host = millions of pages) into a
+  bounded per-host contribution. Skewed hosts are exactly why this exists;
+  the window's sort is per-host and the heaviest host's partition is
+  bounded by AQE skew splitting.
+* ``decontaminate`` — word-n-gram shingles of corpus and benchmark, one
+  equi-join on the shingle hash (benchmark side is small -> broadcast),
+  one per-doc agg. Never materializes a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """C4-style GLOBAL segment (line/paragraph) deduplication: any segment
+    whose normalized form appears in more than ``max_df`` documents is
+    dropped from EVERY document (including the first — C4's rule for
+    boilerplate like cookie banners and nav text). Returns one row per
+    input document: (doc_id, clean_text, n_kept, n_dropped).
+
+    Segment identity is md5(lower(trim(segment))); counting is by distinct
+    document (a segment repeated within one doc is not 'duplicated across
+    the corpus'). Reassembly preserves original segment order."""
+    seg = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "segment"),
+    ).withColumn("h", F.md5(F.encode(F.lower(F.trim("segment")), "UTF-8")))
+    docfreq = seg.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    marked = seg.join(docfreq, "h").withColumn("keep", F.col("df") <= max_df)
+    return (
+        marked.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("pos", "segment"))
+                            )
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                    sep,
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_top_word_frac: float = 0.25,
+) -> DataFrame:
+    """Gopher-style document quality signals + keep decision:
+    word count bounds, mean word length window, fraction of words
+    containing a letter, and the fraction of the document taken by its
+    single most frequent word (catches 'the the the ...' degenerate text).
+
+    Every signal comes from ONE exploded-word pipeline (explode -> per-
+    (doc, word) count -> per-doc agg, both map-side combinable) so the hot
+    path is pure codegen — no interpreted per-row array folds.
+
+    Signals are rounded to 4 decimals so the decision is reproducible
+    across engines."""
+    wc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top_c"),
+            F.sum(F.length("w") * F.col("c")).alias("chars"),
+            F.sum(F.when(F.col("w").rlike("[A-Za-z]"), F.col("c")).otherwise(0)).alias(
+                "alpha"
+            ),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(wc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total", F.lit(0)).cast("long").alias("n_words"),
+            F.round(
+                F.coalesce(F.col("chars") / F.col("total"), F.lit(0.0)), 4
+            ).alias("mean_word_len"),
+            F.round(
+                F.coalesce(F.col("alpha") / F.col("total"), F.lit(0.0)), 4
+            ).alias("alpha_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("total"), F.lit(0.0)), 4
+            ).alias("top_word_frac"),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+    )
+    return out.withColumn("keep", keep)
+
+
+def per_host_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host document cap — the standard crawl-skew control: any single
+    host contributes at most ``cap`` documents, chosen deterministically
+    (lowest doc ids first, so reruns pick the same survivors). Output one
+    row per input doc: (doc_id, host, host_rank, keep)."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col).alias("doc_id"), host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "host",
+            F.col("host_rank").cast("long").alias("host_rank"),
+            (F.col("host_rank") <= cap).alias("keep"),
+        )
+    )
+
+
+def word_shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Distinct word n-grams as (id, g) rows — the decontamination
+    substrate. Words split on whitespace, lowercased; docs shorter than
+    ``ngram`` words yield no shingles (explicit filter — Spark sequences
+    run DESCENDING when end < start, which would fabricate rows)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), words.alias("ws"))
+    pos = base.where(F.size("ws") >= ngram).select(
+        "id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - (ngram - 1))).alias("i")
+    )
+    return pos.select(
+        "id", F.array_join(F.slice("ws", F.col("i"), ngram), " ").alias("g")
+    ).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word n-grams with the benchmark set (the
+    standard eval-leak guard run before training). The benchmark shingle
+    set is small by construction -> broadcast to the corpus-shingle join.
+    Output one row per corpus doc: (doc_id, n_hits, contaminated)."""
+    c_sh = word_shingle_rows(corpus, id_col, text_col, ngram)
+    b_sh = word_shingle_rows(benchmark, id_col, text_col, ngram).select("g").distinct()
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

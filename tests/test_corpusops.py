@@ -1,0 +1,84 @@
+"""Corpus-level cleaning operators: C4 line dedup, Gopher quality,
+per-host caps, benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_segment_dedup_drops_global_duplicates(spark):
+    from tempeh_spark.corpusops import segment_dedup
+
+    rows = [
+        (1, "unique first line\nshared cookie banner\nunique second line"),
+        (2, "totally different text\nShared Cookie Banner"),  # case/trim-insensitive
+        (3, "only unique content here"),
+        (4, "repeated inside\nrepeated inside"),  # within-doc repeat: df=1, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, sep="\n", max_df=1).collect()}
+    assert out[1]["clean_text"] == "unique first line\nunique second line"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "totally different text"
+    assert out[3]["n_dropped"] == 0
+    # duplicated WITHIN one doc only -> document frequency 1 -> kept
+    assert out[4]["clean_text"] == "repeated inside\nrepeated inside"
+    # a doc whose every line is boilerplate comes back empty, not missing
+    rows2 = [(1, "same"), (2, "same")]
+    out2 = {
+        r["doc_id"]: r
+        for r in segment_dedup(
+            spark.createDataFrame(rows2, "doc_id long, text string")
+        ).collect()
+    }
+    assert out2[1]["clean_text"] == "" and out2[1]["n_kept"] == 0
+
+
+def test_gopher_quality_signals(spark):
+    from tempeh_spark.corpusops import gopher_quality
+
+    good = "the quick brown fox jumps over lazy dogs and keeps running fast " * 5
+    rows = [
+        (1, good),
+        (2, "short text"),  # too few words
+        (3, "the " * 80),  # degenerate repetition: top_word_frac = 1.0
+        (4, "1 2 3 4 5 6 7 8 9 10 " * 5),  # numbers: alpha_word_frac = 0
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["n_words"] == 2
+    assert not out[3]["keep"] and out[3]["top_word_frac"] == 1.0
+    assert not out[4]["keep"] and out[4]["alpha_word_frac"] == 0.0
+    assert not out[5]["keep"] and out[5]["n_words"] == 0
+
+
+def test_per_host_cap(spark):
+    from tempeh_spark.corpusops import per_host_cap
+
+    rows = [(i, f"https://h{i % 2}.example.com/p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in per_host_cap(df, cap=3).collect()}
+    assert out[0]["host"] == "h0.example.com"
+    # lowest doc ids survive per host, deterministically
+    kept = sorted(d for d, r in out.items() if r["keep"])
+    assert kept == [0, 1, 2, 3, 4, 5]
+    assert out[8]["host_rank"] == 5 and not out[8]["keep"]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from tempeh_spark.corpusops import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "prefix words then alpha beta gamma delta epsilon zeta eta theta tail"),
+        (2, "completely unrelated content with no overlap whatsoever at all here"),
+        (3, "alpha beta gamma"),  # shares words but no full 8-gram
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, ngram=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]
