@@ -16,16 +16,23 @@ import pytest
 from tools.check_oracles import canon  # the driver-gate rehearsal's comparator
 
 DOCS = [
+    # doc 0 is the decontaminate gate's benchmark subset (doc_id % 29 == 0)
+    (0, "the quick brown fox jumps over the lazy dog is benchmark text"),
     (1, "the quick brown fox jumps over the lazy dog and runs far away"),
     (2, "the quick brown fox jumps over the lazy dog and runs far away"),
     (3, "the quick brown fox jumped over the lazy dog and ran far away"),
     (4, "completely different content about databases, queries and planners"),
     (5, ""),  # empty
-    (6, "   \t  \n "),  # whitespace-only -> normalizes to ''
+    (6, "   \t  \n "),  # whitespace-only (and a raw newline) -> normalizes to ''
     (7, "short"),  # shorter than the gate's ngram=8
     (8, "tiny"),
     (9, "ok doc"),
     (10, "exactly8"),  # exactly ngram chars -> one shingle
+    (11, "alpha beta gamma delta epsilon zeta eta theta " * 3),  # multi-line after 8-word split
+    (12, "héllo wörld ünïcode tëxt with àccents ánd möre wörds hêre tðo"),
+    (13, "O'Reilly's \"quoted\" text with 'apostrophes' and backslash \\ chars here"),
+    (14, "123 456 789 0 11 22 33 44 55 66"),  # digits only: alpha_word_frac = 0
+    (15, "alpha beta gamma delta epsilon zeta eta theta " * 3),  # line-dup of 11
 ]
 
 TWINNED = [
@@ -38,6 +45,10 @@ TWINNED = [
     "simhash60_pairs",
     "bottomk_sketch",
     "text_analysis",
+    "line_dedup",
+    "gopher_quality",
+    "host_cap",
+    "decontaminate",
 ]
 
 
