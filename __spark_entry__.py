@@ -651,6 +651,136 @@ FROM documents d LEFT JOIN hits USING (doc_id)
 """
 
 
+# deterministic PII injection for the scrub gate: the same CASE in both
+# engines appends an email / IPv4 / phone-like run / nothing by doc_id % 4
+_PII_TAILS = [
+    " contact user{id}@example.com now",
+    " server at 10.0.{m}.7 port",
+    " call 555-01{d}2-7777 now",
+    "",
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4, phone-like digit runs) with per-type
+    counts — patterns restricted to the Java/RE2 common regex subset."""
+    from tempeh_spark.corpusops import pii_scrub
+
+    tail = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" server at 10.0."), F.col("doc_id") % 256, F.lit(".7 port")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(" call 555-01"), F.col("doc_id") % 10, F.lit("2-7777 now")),
+        )
+        .otherwise(F.lit(""))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode("clean_text", "UTF-8")).alias("clean_md5"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from tempeh_spark.corpusops import PII_EMAIL_RX, PII_IP_RX, PII_PHONE_RX
+
+    def count(expr: str, rx: str) -> str:
+        return "len(regexp_extract_all(" + expr + ", '" + rx + "'))"
+
+    def sub(expr: str, rx: str, tok: str) -> str:
+        return "regexp_replace(" + expr + ", '" + rx + "', '" + tok + "', 'g')"
+
+    t1 = sub("t", PII_EMAIL_RX, "<EMAIL>")
+    t2 = sub("t1", PII_IP_RX, "<IP>")
+    t3 = sub("t2", PII_PHONE_RX, "<PHONE>")
+    return f"""
+WITH p AS (
+  SELECT doc_id, text || (CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+    WHEN 1 THEN ' server at 10.0.' || (doc_id % 256) || '.7 port'
+    WHEN 2 THEN ' call 555-01' || (doc_id % 10) || '2-7777 now'
+    ELSE '' END) AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id, t, {count("t", PII_EMAIL_RX)} AS ne, {t1} AS t1 FROM p),
+s2 AS (SELECT doc_id, ne, {count("t1", PII_IP_RX)} AS ni, {t2} AS t2 FROM s1),
+s3 AS (SELECT doc_id, ne, ni, {count("t2", PII_PHONE_RX)} AS np, {t3} AS t3 FROM s2)
+SELECT doc_id::BIGINT AS doc_id, md5(t3) AS clean_md5,
+       ne::BIGINT AS n_emails, ni::BIGINT AS n_ips, np::BIGINT AS n_phones
+FROM s3
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: top-bigram fraction + duplicate-word
+    fraction per document."""
+    from tempeh_spark.corpusops import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "top_bigram_frac",
+        "dup_word_frac",
+    )
+
+
+def _oracle_repetition_signals() -> str:
+    return r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 1, 0)),
+           i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM w
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bc GROUP BY 1),
+u AS (SELECT doc_id, unnest(ws) AS w FROM w),
+ua AS (SELECT doc_id, count(*) AS total, count(DISTINCT w) AS dw FROM u GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id,
+       round(coalesce(top_bg / n_bg, 0), 4) AS top_bigram_frac,
+       round(coalesce(1 - dw / total, 0), 4) AS dup_word_frac
+FROM documents d LEFT JOIN ba USING (doc_id) LEFT JOIN ua USING (doc_id)
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling (rate 0.25, salt 's0') — the
+    engine-portable train/val splitter."""
+    from tempeh_spark.corpusops import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate=0.25, salt="s0").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "keep",
+    )
+
+
+def _oracle_hash_sample() -> str:
+    threshold = int(0.25 * 2**32)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ('0x' || substr(md5('s0:' || doc_id), 1, 8))::BIGINT AS bucket,
+       (('0x' || substr(md5('s0:' || doc_id), 1, 8))::BIGINT < {threshold}) AS keep
+FROM documents
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import (
         fingerprint,
@@ -1072,6 +1202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "host_cap": q_host_cap,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_signals": q_repetition_signals,
+        "hash_sample": q_hash_sample,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1746,6 +1879,9 @@ FROM documents GROUP BY 1
         "gopher_quality": _oracle_gopher_quality(),
         "host_cap": _oracle_host_cap(),
         "decontaminate": _oracle_decontaminate(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "repetition_signals": _oracle_repetition_signals(),
+        "hash_sample": _oracle_hash_sample(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),

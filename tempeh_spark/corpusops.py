@@ -214,3 +214,114 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# execute identically: no backrefs, no lookaround.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RX = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-like digit runs with typed
+    placeholder tokens, counting each. Order matters and is fixed —
+    email, then IP, then phone — so an IP is never half-eaten by the
+    greedier phone pattern; both engines apply the same chain. Pure
+    codegen (regexp_replace / regexp_count), no Python."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RX))
+    t1 = F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IP_RX))
+    t2 = F.regexp_replace(t1, PII_IP_RX, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RX))
+    t3 = F.regexp_replace(t2, PII_PHONE_RX, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of the document taken
+    by its most frequent word BIGRAM, and the duplicate-word fraction
+    (1 - distinct/total). Degenerate 'foo bar foo bar ...' spam scores
+    near 1.0 on both. One exploded codegen pipeline, map-side combinable."""
+    words = _words(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    bi = (
+        base.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    uni = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("total"), F.count_distinct("w").alias("distinct_w"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(bi, "doc_id", "left")
+        .join(uni, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 4).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                F.coalesce(
+                    1 - F.col("distinct_w") / F.col("total"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_word_frac"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic content-independent sampling for train/val splits:
+    keep iff the first 8 hex digits of md5(salt || ':' || id), read as a
+    32-bit integer, fall below ``floor(rate * 2^32)``. Pure integer
+    comparison — no float rounding to diverge across engines. Engine-
+    portable (md5 everywhere), rerun-stable, and independent across salts —
+    unlike rand(seed), which no two engines evaluate identically."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat_ws(":", F.lit(salt), F.col(id_col)), "UTF-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    threshold = int(rate * 2**32)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        (bucket < F.lit(threshold)).alias("keep"),
+    )

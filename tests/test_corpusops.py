@@ -82,3 +82,50 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] == 1
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_pii_scrub(spark):
+    from tempeh_spark.corpusops import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk or visit 192.168.1.1 today"),
+        (2, "call +1 555-0142 8812 about the thing"),
+        (3, "no pii in this one at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["clean_text"] and "<IP>" in out[1]["clean_text"]
+    assert "jane" not in out[1]["clean_text"] and "192.168" not in out[1]["clean_text"]
+    assert out[2]["n_phones"] == 1 and "<PHONE>" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_repetition_signals(spark):
+    from tempeh_spark.corpusops import repetition_signals
+
+    rows = [
+        (1, "foo bar " * 20),  # 'foo bar'/'bar foo' dominate
+        (2, "each word appears only once in this sentence"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_bigram_frac"] > 0.5 and out[1]["dup_word_frac"] > 0.9
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_frac"] < 0.2
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_word_frac"] == 0.0
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from tempeh_spark.corpusops import hash_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = hash_sample(df, rate=0.25, salt="s0")
+    b = hash_sample(df, rate=0.25, salt="s0")
+    assert a.collect() == b.collect()  # rerun-stable
+    n = a.where("keep").count()
+    assert 800 < n < 1200  # ~1000 expected
+    # different salts give (near-)independent draws
+    c = hash_sample(df, rate=0.25, salt="s1")
+    both = a.where("keep").join(c.where("keep"), "doc_id").count()
+    assert 150 < both < 400  # ~250 expected under independence

@@ -49,6 +49,9 @@ TWINNED = [
     "gopher_quality",
     "host_cap",
     "decontaminate",
+    "pii_scrub",  # doc 14's digit runs probe Java-vs-RE2 greedy agreement
+    "repetition_signals",
+    "hash_sample",
 ]
 
 
