@@ -64,17 +64,24 @@ def _docs_as_pages(df: DataFrame) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sf0.001 documents -> HTML -> full extraction pipeline."""
+    """Flagship: sf0.001 documents -> HTML -> full extraction pipeline ->
+    the training-data decision columns a 100 TB run would publish per doc
+    (tokens/lang/quality from the extracted text, dedup keeper decision,
+    deterministic sample bucket)."""
     from tempeh_spark import parse_html
+    from tempeh_spark.corpusops import hash_sample
+    from tempeh_spark.dedup import dedup_decisions
     from tempeh_spark.textops import lang_id, quality_score, token_count
 
-    pages = _docs_as_pages(_docs(spark, "/root/testdata/sf0.001"))
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = _docs_as_pages(docs)
     buckets = max(8, 2 * spark.sparkContext.defaultParallelism)
     parsed = parse_html(
         pages.repartition(buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets)))
     )
-    return parsed.select(
+    extracted = parsed.select(
         "url",
+        "doc_id",
         F.col("parsed.text").alias("text"),
         F.col("parsed.main_text").alias("main_text"),
         F.col("parsed.error").alias("error"),
@@ -87,6 +94,15 @@ def entry(spark: SparkSession) -> DataFrame:
         token_count(F.col("parsed.text")).cast("long").alias("n_tokens"),
         lang_id(F.col("parsed.text")).alias("lang_id"),
         quality_score(F.col("parsed.text")).alias("quality"),
+    )
+    dd = dedup_decisions(
+        docs, num_perm=16, bands=4, ngram=8, verify_threshold=0.3, max_chars=300
+    ).select("doc_id", F.col("keep").alias("dedup_keep"))
+    samp = hash_sample(docs, rate=0.9, salt="train").select(
+        "doc_id", F.col("keep").alias("train_split")
+    )
+    return (
+        extracted.join(dd, "doc_id").join(samp, "doc_id").drop("doc_id")
     )
 
 
@@ -781,6 +797,45 @@ FROM documents
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level descriptive statistics with EXACT percentiles (Spark
+    `percentile` and DuckDB `quantile_cont` both implement the R-7 linear
+    interpolation): the dataset card numbers a training-data pipeline
+    publishes."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+    base = docs.select(F.col("n_chars").cast("double").alias("c"), toks.cast("double").alias("t"))
+    return base.agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("c").cast("long").alias("total_chars"),
+        F.round(F.avg("c"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(c, 0.9)"), 4).alias("p90_chars"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.round(F.expr("percentile(t, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(t, 0.9)"), 4).alias("p90_tokens"),
+    )
+
+
+def _oracle_corpus_stats() -> str:
+    return r"""
+WITH b AS (
+  SELECT n_chars::DOUBLE AS c,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS t
+  FROM documents
+)
+SELECT count(*)::BIGINT AS docs,
+       sum(c)::BIGINT AS total_chars,
+       round(avg(c), 4) AS mean_chars,
+       round(quantile_cont(c, 0.5), 4) AS p50_chars,
+       round(quantile_cont(c, 0.9), 4) AS p90_chars,
+       sum(t)::BIGINT AS total_tokens,
+       round(quantile_cont(t, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(t, 0.9), 4) AS p90_tokens
+FROM b
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import (
         fingerprint,
@@ -1205,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "hash_sample": q_hash_sample,
+        "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
         "embedding_neardup": q_embedding_neardup,
@@ -1882,6 +1938,7 @@ FROM documents GROUP BY 1
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
+        "corpus_stats": _oracle_corpus_stats(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),
         "embedding_neardup": _oracle_embedding_neardup(),
