@@ -458,9 +458,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parameters), so a parameter change that degrades recall identically in
 # both engines keeps it green; these literals make such a regression fail
 # loudly (verified: lowering lsh_topk to n_bands=6 flips its row to false).
+# Floors are pinned BELOW the minimum measured across all three sf corpora
+# (ivf 0.06/0.14/0.14, ivf_probe 0.34/0.46/0.38, lsh_topk 0.96/0.92/0.92,
+# lsh_pairs 0.9989/1.0/0.9993 at sf0.001/0.01/0.1) so the gate holds at any
+# driver scale while still tripping on real regressions (e.g. n_probe 3->1
+# drops ivf_probe to ~0.14; n_bands 12->6 drops lsh_topk to 0.58).
 _RECALL_FLOORS = {
-    "ivf_topk": 0.10,  # single own-cell probe — low by design, see ivf_probe
-    "ivf_probe_topk": 0.40,
+    "ivf_topk": 0.05,  # single own-cell probe — low by design, see ivf_probe
+    "ivf_probe_topk": 0.30,
     "lsh_topk": 0.90,
     "lsh_pairs": 0.99,
 }
