@@ -903,6 +903,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stable_avg(value_col: str):
+    """Order- and engine-independent average: round each value to the 1e-4
+    grid, convert to EXACT integer units (decimal arithmetic), sum the
+    integers (no float summation order), then one identical IEEE division
+    chain — and NO final round. Two separate hazards this dodges, both
+    observed at sf0.1:
+
+    * ``round(avg(double), 4)`` is summation-order-sensitive across engines
+      (Spark sums in partition order, DuckDB in scan order);
+    * any FINAL ``round`` of a double that lands exactly on a .00005
+      boundary diverges by construction: Spark's round goes through the
+      shortest-decimal repr (HALF_UP on Double.toString), DuckDB rounds the
+      binary value — and grid-aligned sums land on such boundaries often.
+    """
+    units = F.sum(
+        (F.round(F.col(value_col), 4).cast("decimal(18,4)") * 10000).cast("long")
+    )
+    return (units.cast("double") / F.count(F.lit(1))) / F.lit(10000.0)
+
+
+_STABLE_AVG_SQL = (
+    "(CAST(sum(CAST(CAST(round({c}, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)"
+    " / count(*)) / 10000.0"
+)
+
+
 def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -912,7 +938,7 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _stable_avg("value").alias("avg_value"),
         )
     )
 
@@ -1101,7 +1127,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").cast("long").alias("media_id"),
         "n_bytes",
         "magic",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        (F.round(F.element_at("feature", 1), 4) + F.lit(0.0)).alias("f0"),
         F.col("n_frames").cast("long").alias("n_frames"),
     )
 
@@ -1597,8 +1623,8 @@ FROM (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents)
 
 
 _COS = (
-    "round(list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+    "(round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) + 0)"
 )
 
 
@@ -1617,8 +1643,8 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM em
 q AS (SELECT * FROM e WHERE vec_id < 5),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
-         round(list_dot_product(q.v, e.v) /
-               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         (round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) + 0) AS cosine
   FROM q JOIN e ON q.vec_id <> e.vec_id
 ),
 ranked AS (
@@ -1667,8 +1693,8 @@ tranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
   FROM (
     SELECT query_id, nbr_id,
-           round(list_dot_product(ea.v, eb.v) /
-                 (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+           (round(list_dot_product(ea.v, eb.v) /
+                 (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0) AS cosine
     FROM tcand JOIN e ea ON ea.vec_id = query_id JOIN e eb ON eb.vec_id = nbr_id
   )
 )"""
@@ -1703,8 +1729,8 @@ ivf3_ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
   FROM (
     SELECT p.query_id, e.vec_id AS nbr_id,
-           round(list_dot_product(p.qv, e.v) /
-                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+           (round(list_dot_product(p.qv, e.v) /
+                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) + 0) AS cosine
     FROM probes p JOIN el e ON e.label = p.cell AND e.vec_id <> p.query_id
   )
 )"""
@@ -1745,8 +1771,8 @@ cand AS (
 ),
 lsh_pairs AS (
   SELECT id_a, id_b,
-         round(list_dot_product(ea.v, eb.v) /
-               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+         (round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0) AS cosine
   FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
   WHERE round(list_dot_product(ea.v, eb.v) /
               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= {threshold}
@@ -1827,8 +1853,8 @@ WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v 
 q AS (SELECT * FROM e WHERE vec_id < 5),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
-         round(list_dot_product(q.v, e.v) /
-               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+         (round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) + 0) AS cosine
   FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id
 ),
 ranked AS (
@@ -1899,7 +1925,7 @@ WITH {_MEDIA_CTE.strip()}
 SELECT doc_id::BIGINT AS media_id,
        octet_length(encode(mstr))::BIGINT AS n_bytes,
        magic,
-       round(('0x' || substr(md5(mstr), 1, 8))::BIGINT / 2147483648.0 - 1.0, 4) AS f0,
+       (round(('0x' || substr(md5(mstr), 1, 8))::BIGINT / 2147483648.0 - 1.0, 4) + 0) AS f0,
        greatest(1, octet_length(encode(mstr)) // 65536)::BIGINT AS n_frames
 FROM sniffed
 """
@@ -1951,14 +1977,18 @@ FROM documents GROUP BY 1
         "ivf_topk": _oracle_ivf_topk(),
         "hourly_events": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+       count(*)::BIGINT AS n,
+       (CAST(sum(CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)
+        / count(*)) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """,
         # streaming gate: availableNow drains the backlog, so the finished
         # stream equals the batch rollup
         "streaming_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+       count(*)::BIGINT AS n,
+       (CAST(sum(CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)
+        / count(*)) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """,
         # file-sink streaming gate: exactly-once parquet sink + checkpoint,

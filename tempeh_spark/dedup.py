@@ -603,7 +603,7 @@ def embedding_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine"),
+            (F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4) + F.lit(0.0)).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

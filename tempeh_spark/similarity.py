@@ -86,7 +86,7 @@ def brute_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id")).select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
+        (F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
@@ -117,7 +117,7 @@ def ivf_topk(
     ).select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
+        (F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
@@ -192,7 +192,7 @@ def ivf_multiprobe_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
+            (F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4) + F.lit(0.0)).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -286,7 +286,7 @@ def embedding_lsh_near_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine"),
+            (F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4) + F.lit(0.0)).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -336,8 +336,11 @@ def lsh_bucket_topk(
             .select(
                 "query_id",
                 "nbr_id",
-                F.round(
-                    mc(F.col("query_id"), F.col("q_vec"), F.col("nbr_id"), F.col("nbr_vec")), 4
+                (
+                    F.round(
+                        mc(F.col("query_id"), F.col("q_vec"), F.col("nbr_id"), F.col("nbr_vec")), 4
+                    )
+                    + F.lit(0.0)
                 ).alias("cosine"),
             )
             .where(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
@@ -368,7 +371,7 @@ def lsh_bucket_topk(
     scored = cand.select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4).alias("cosine"),
+        (F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (

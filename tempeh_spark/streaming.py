@@ -105,12 +105,21 @@ def stream_hourly_events(
     # watermarks require TIMESTAMP (with zone); parquet NTZ keeps the same
     # wall clock under the engine's fixed UTC session timezone
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # order-independent 4-decimal average (exact DECIMAL sum of pre-rounded
+    # values): round(avg(double)) is not stable across summation orders —
+    # micro-batch accumulation order differs from both batch engines
+    stable_avg = (
+        F.sum(
+            (F.round(F.col("value"), 4).cast("decimal(18,4)") * 10000).cast("long")
+        ).cast("double")
+        / F.count(F.lit(1))
+    ) / F.lit(10000.0)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_avg.alias("avg_value"),
         )
     )
     out = _drain_to_df(agg, "complete", f"stream_hourly_{uuid.uuid4().hex[:8]}")
