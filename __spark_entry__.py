@@ -408,6 +408,61 @@ def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic md5-derived codebook for the kmeans_assign gate (the
+# TRAINED codebook is exercised by pytest — the oracle needs centroids
+# known without running Spark, exactly like the LSH hyperplane literals)
+_KMEANS_K = 8
+
+
+def _gate_centroids() -> list[list[float]]:
+    from tempeh_spark.vecmath import _hyperplane
+
+    return [_hyperplane(64, 1000 + j) for j in range(_KMEANS_K)]
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against a literal codebook: squared
+    euclidean distance with the vecmath sequential-dot contract, argmin
+    with lowest-index tie-break. (kmeans_fit — Lloyd's training — is the
+    iterative, non-SQL-expressible part; its convergence properties are
+    pinned by pytest and its assignment step is THIS gated kernel.)"""
+    from tempeh_spark.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), _gate_centroids()).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        (F.round("dist2", 4) + F.lit(0.0)).alias("dist2"),
+    )
+
+
+def _oracle_kmeans_assign() -> str:
+    cents = _gate_centroids()
+    d_cols = []
+    for j, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        d_cols.append(
+            f"(list_dot_product(v, v) - 2 * list_dot_product(v, {lit})) + {cc!r} AS d{j}"
+        )
+    m = "least(" + ", ".join(f"d{j}" for j in range(len(cents))) + ")"
+    cell = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = {m} THEN {j}" for j in range(len(cents)))
+        + " END"
+    )
+    dist = "CASE " + " ".join(f"WHEN d{j} = {m} THEN d{j}" for j in range(len(cents))) + " END"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+d AS (SELECT vec_id, {", ".join(d_cols)} FROM e)
+SELECT vec_id::BIGINT AS vec_id,
+       ({cell})::INTEGER AS cell,
+       (round({dist}, 4) + 0) AS dist2
+FROM d
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gates for every approximate path, measured against the exact
     ground truth computed independently by BOTH engines: ivf/lsh top-k vs
@@ -1301,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ann_recall": q_ann_recall,
         "ann_recall_floor": q_ann_recall_floor,
+        "kmeans_assign": q_kmeans_assign,
         "hourly_events": q_hourly_events,
         "streaming_hourly": q_streaming_hourly,
         "streaming_sink": q_streaming_sink,
@@ -1962,6 +2018,7 @@ FROM documents GROUP BY 1
         "embedding_lsh_neardup": _oracle_embedding_lsh_neardup(),
         "ann_recall": _oracle_ann_recall(),
         "ann_recall_floor": _oracle_ann_recall_floor(),
+        "kmeans_assign": _oracle_kmeans_assign(),
         "line_dedup": _oracle_line_dedup(),
         "gopher_quality": _oracle_gopher_quality(),
         "host_cap": _oracle_host_cap(),

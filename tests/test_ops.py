@@ -290,3 +290,47 @@ def test_dedup_decisions_composition(spark):
     assert out[3]["keep"] and out[3]["keeper"] == 3
     assert not out[4]["keep"] and out[4]["keeper"] == 3
     assert out[5]["keep"] and out[5]["keeper"] == 5
+
+
+def test_kmeans_fit_and_assign(spark):
+    """Lloyd's k-means: objective decreases monotonically, converged
+    assignments are the argmin of the final centroids, and the trained
+    cells compose with the IVF searcher."""
+    import numpy as np
+
+    from tempeh_spark.clustering import kmeans_assign, kmeans_fit, kmeans_objective
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # objective monotonicity across increasing iteration budgets
+    objs = []
+    for iters in (1, 3, 8):
+        _, assigned = kmeans_fit(emb, k=4, max_iter=iters)
+        objs.append(kmeans_objective(assigned))
+    assert objs[0] >= objs[1] >= objs[2]
+
+    cents, assigned = kmeans_fit(emb, k=4, max_iter=8)
+    rows = {r["vec_id"]: r for r in assigned.collect()}
+    # every cell used, assignment is the true argmin
+    assert {r["cell"] for r in rows.values()} == set(range(4))
+    C = np.array(cents)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    for vid in list(vecs)[:50]:
+        d2 = ((vecs[vid] - C) ** 2).sum(axis=1)
+        assert rows[vid]["cell"] == int(d2.argmin())
+
+    # determinism: rerun produces identical codebook + assignments
+    cents2, assigned2 = kmeans_fit(emb, k=4, max_iter=8)
+    assert cents == cents2
+
+    # composition: trained cells feed the IVF searcher
+    from pyspark.sql import functions as F
+
+    from tempeh_spark.similarity import ivf_topk
+
+    labeled = emb.drop("label").join(
+        kmeans_assign(emb, cents).select("vec_id", F.col("cell").alias("label")),
+        "vec_id",
+    )
+    out = ivf_topk(labeled, labeled.where(F.col("vec_id") < 3), k=5)
+    assert out.count() == 15
