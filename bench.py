@@ -54,6 +54,7 @@ SUITE = (
     "embedding_lsh_neardup",
     "brute_topk",
     "lsh_topk",
+    "kmeans_assign",
     "media_dims",
     "hourly_events",
     "sessionize",
