@@ -1320,6 +1320,68 @@ def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side dedup: canonicalize messy url spellings (scheme/host case,
+    default ports, tracking params, fragments — urlops.py rules) and keep
+    the min doc_id per canonical url. The messy urls are synthesized
+    deterministically from doc_id: ~300 url "groups" x 7 spelling variants,
+    so some variants collapse under canonicalization (case/port/tracking)
+    and some stay distinct (http vs https, non-default ports) — both sides
+    of the decision are exercised. Oracle applies the identical rules in
+    DuckDB regexp syntax."""
+    from tempeh_spark.urlops import url_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = (F.col("doc_id") % 100).cast("long")
+    w = F.expr("(doc_id div 100) % 5")
+    # five spelling variants per url group; under the canonicalization
+    # rules w=0 collapses with w=1 and w=2 with w=3, w=4 stays distinct
+    scheme = (
+        F.when(w == 0, "http")
+        .when(w == 1, "HTTP")
+        .when(w == 4, "http")
+        .otherwise("https")
+    )
+    port = (
+        F.when(w == 0, ":80")
+        .when(w == 2, ":443")
+        .when(w == 4, ":8080")
+        .otherwise("")
+    )
+    query = (
+        F.when(
+            w == 0,
+            F.concat(F.lit("?id="), g.cast("string"), F.lit("&utm_source=feed&ref=tw")),
+        )
+        .when(w == 1, F.concat(F.lit("?utm_campaign=x&id="), g.cast("string")))
+        .when(w == 2, F.lit("?utm_medium=email"))
+        .when(w == 4, F.lit("?a=1&fbclid=XYZ"))
+        .otherwise("")
+    )
+    frag = F.when(
+        w % 2 == 0, F.concat(F.lit("#section-"), (g % 9).cast("string"))
+    ).otherwise("")
+    url = F.concat(
+        scheme,
+        F.lit("://WWW.Site"),
+        (g % 7).cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/Articles/"),
+        g.cast("string"),
+        query,
+        frag,
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return url_dedup(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url",
+        "canon_url",
+        F.col("keeper").cast("long").alias("keeper"),
+        "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_text": q_parse_text,
@@ -1346,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "hash_sample": q_hash_sample,
+        "url_dedup": q_url_dedup,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
@@ -1987,6 +2050,53 @@ FROM sniffed
 """
 
 
+def _oracle_url_dedup() -> str:
+    """Twin of q_url_dedup: identical synthesis + canonicalization rules in
+    DuckDB regexp syntax (RE2; backrefs are \\1, global flag explicit —
+    Spark's regexp_replace is always-global, DuckDB's is first-match)."""
+    tr = "utm_[^=&]*|fbclid|gclid|ref"
+    pre = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    nofrag = "regexp_replace(url, '#.*$', '')"
+    prefix = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({nofrag}, '{pre}', 1)), "
+        f"'^(http://[^:/?#]*):80$', '\\1'), "
+        f"'^(https://[^:/?#]*):443$', '\\1')"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"substr({nofrag}, length(regexp_extract({nofrag}, '{pre}', 1)) + 1), "
+        f"'&({tr})=[^&]*', '', 'g'), "
+        f"'\\?({tr})=[^&]*&', '?'), "
+        f"'\\?({tr})=[^&]*$', '')"
+    )
+    return f"""
+WITH syn AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    concat(
+      CASE (doc_id // 100) % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 4 THEN 'http' ELSE 'https' END,
+      '://WWW.Site', ((doc_id % 100) % 7)::VARCHAR, '.Example.COM',
+      CASE (doc_id // 100) % 5 WHEN 0 THEN ':80' WHEN 2 THEN ':443' WHEN 4 THEN ':8080' ELSE '' END,
+      '/Articles/', (doc_id % 100)::VARCHAR,
+      CASE (doc_id // 100) % 5
+        WHEN 0 THEN concat('?id=', (doc_id % 100)::VARCHAR, '&utm_source=feed&ref=tw')
+        WHEN 1 THEN concat('?utm_campaign=x&id=', (doc_id % 100)::VARCHAR)
+        WHEN 2 THEN '?utm_medium=email'
+        WHEN 4 THEN '?a=1&fbclid=XYZ' ELSE '' END,
+      CASE WHEN ((doc_id // 100) % 5) % 2 = 0 THEN concat('#section-', ((doc_id % 100) % 9)::VARCHAR) ELSE '' END
+    ) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url, concat({prefix}, {rest}) AS canon_url FROM syn
+), keepers AS (
+  SELECT canon_url, min(doc_id) AS keeper FROM canon GROUP BY 1
+)
+SELECT c.doc_id AS doc_id, c.url AS url, c.canon_url AS canon_url,
+       k.keeper AS keeper, c.doc_id = k.keeper AS keep
+FROM canon c JOIN keepers k USING (canon_url)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "parse_text": _oracle_parse_text(),
@@ -2026,6 +2136,7 @@ FROM documents GROUP BY 1
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
+        "url_dedup": _oracle_url_dedup(),
         "corpus_stats": _oracle_corpus_stats(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),

@@ -1,0 +1,81 @@
+"""URL canonicalization + canonical-url dedup — the crawl-side dedup pass.
+
+A Common-Crawl-style corpus carries the same page under many url spellings:
+scheme/host case, explicit default ports, tracking query parameters
+(utm_*, fbclid, gclid, ref), fragments. Canonicalizing BEFORE content dedup
+collapses the trivial dup mass with pure string ops — no shingles, no
+joins — so the expensive near-dup machinery only sees one capture per
+canonical url.
+
+Rules (conservative, order matters):
+
+1. strip the fragment (``#...``);
+2. lowercase the ``scheme://host[:port]`` prefix (path/query case kept —
+   paths are case-sensitive on most origin servers);
+3. drop an explicit default port (``http://h:80`` -> ``http://h``,
+   ``https://h:443`` -> ``https://h``; any other port is kept);
+4. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``ref``), wherever they sit in the query string; a query left empty
+   disappears entirely.
+
+Everything is built from ``regexp_replace``/``regexp_extract``/``lower`` —
+JVM codegen, no Python, no higher-order functions — so it runs at full
+scan speed over 10^12 rows. ``url_dedup`` is then one hash aggregation
+(map-side combinable) + a broadcast-able join back, the same shape as
+exact content dedup (dedup.py).
+
+Reference parity: the reference is an HTML parser with no url handling
+(n/a) — this module is part of the beyond-reference training-data
+pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKERS = r"utm_[^=&]*|fbclid|gclid|ref"
+# scheme://authority — stops at the first /, ?, or # so the port is included
+_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical form of ``url`` per the module rules. Pure codegen."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. fragment off first, so later $-anchored patterns see the true end
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase the scheme://host[:port] prefix, keep the rest verbatim
+    prefix = F.lower(F.regexp_extract(u, _PREFIX_RE, 1))
+    rest = F.substr(u, F.length(F.regexp_extract(u, _PREFIX_RE, 1)) + F.lit(1))
+    # 3. default ports (prefix is lowercase already)
+    prefix = F.regexp_replace(prefix, r"^(http://[^:/?#]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^:/?#]*):443$", "$1")
+    # 4. tracking params: mid/terminal &-params, then a leading ?-param
+    #    (next param promoted to ?), then a lone ?-param
+    rest = F.regexp_replace(rest, rf"&({_TRACKERS})=[^&]*", "")
+    rest = F.regexp_replace(rest, rf"\?({_TRACKERS})=[^&]*&", "?")
+    rest = F.regexp_replace(rest, rf"\?({_TRACKERS})=[^&]*$", "")
+    return F.concat(prefix, rest)
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """Keep-decision per row by canonical url: ``(id, url, canon_url,
+    keeper, keep)`` where keeper = min id sharing the canonical url.
+
+    One hash agg over canon_url (partial map-side combine) + one equi-join
+    back on canon_url — at 10^12 rows both shuffle on the canonical url,
+    and the agg output (one row per distinct url) is the small side.
+    """
+    canon = df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonicalize_url(url_col).alias("canon_url"),
+    )
+    keepers = canon.groupBy("canon_url").agg(F.min(id_col).alias("keeper"))
+    return canon.join(keepers, "canon_url").select(
+        id_col,
+        url_col,
+        "canon_url",
+        "keeper",
+        (F.col(id_col) == F.col("keeper")).alias("keep"),
+    )

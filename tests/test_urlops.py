@@ -1,0 +1,82 @@
+"""URL canonicalization + canonical-url dedup (urlops.py).
+
+The rule matrix below is the contract; the DuckDB twin in
+__spark_entry__._oracle_url_dedup applies the identical rules in RE2
+syntax, and the url_dedup gate verifies both engines value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tempeh_spark.urlops import canonicalize_url, url_dedup
+
+CASES = [
+    # (input, canonical)
+    # everything at once: case, default port, two trailing trackers, fragment
+    (
+        "HTTP://WWW.Site3.Example.COM:80/Articles/5?id=5&utm_source=feed&ref=tw#sec",
+        "http://www.site3.example.com/Articles/5?id=5",
+    ),
+    # leading tracker promotes the next param onto '?'
+    ("https://Host.com:443/P?utm_campaign=x&id=9", "https://host.com/P?id=9"),
+    # lone tracker query disappears entirely; non-default port kept
+    ("https://host.com:8080/p?utm_medium=email", "https://host.com:8080/p"),
+    # :443 is NOT default for http
+    ("http://host.com:443/p", "http://host.com:443/p"),
+    # fragment-only difference
+    ("https://host.com/p#only-frag", "https://host.com/p"),
+    # non-tracking query untouched, order preserved
+    ("http://host.com/p?a=1&b=2", "http://host.com/p?a=1&b=2"),
+    # bare authority
+    ("http://host.com", "http://host.com"),
+    # multiple leading trackers all vanish
+    ("http://host.com/p?utm_a=1&utm_b=2", "http://host.com/p"),
+    # 'ref' must not swallow 'refresh'
+    ("http://host.com/p?refresh=1", "http://host.com/p?refresh=1"),
+    # path case is preserved (origin servers are case-sensitive)
+    ("ftp://Host/File.TXT", "ftp://host/File.TXT"),
+    # fbclid/gclid mid-query
+    ("http://h/p?a=1&fbclid=X&b=2&gclid=Y", "http://h/p?a=1&b=2"),
+]
+
+
+def test_canonicalize_rule_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (inp, want) in enumerate(CASES):
+        assert got[i] == want, f"{inp} -> {got[i]!r}, want {want!r}"
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    rows = [
+        (10, "http://a.com/x?utm_source=s"),
+        (11, "HTTP://A.COM:80/x"),  # same canonical as 10
+        (12, "https://a.com/x"),  # different (scheme)
+        (13, "http://a.com/x#frag"),  # same canonical as 10
+    ]
+    out = {
+        r.doc_id: r
+        for r in url_dedup(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out[10].keep and out[10].keeper == 10
+    assert not out[11].keep and out[11].keeper == 10
+    assert out[12].keep and out[12].keeper == 12
+    assert not out[13].keep and out[13].keeper == 10
+
+
+def test_canonicalize_is_codegen_only(spark):
+    """No Python, no higher-order functions: the plan must be a pure
+    project over the scan (WholeStageCodegen-able expressions only)."""
+    df = spark.range(100).select(
+        F.concat(F.lit("http://h/p?x="), F.col("id").cast("string")).alias("url")
+    )
+    text = df.select(canonicalize_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
