@@ -1382,6 +1382,38 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion roundtrip: wrap each document's deterministic HTML in
+    multi-record WARC files (50 records/file, url-ordered), read them back
+    through the mapInPandas WARC reader, and prove every page survives
+    byte-identically (html bytes, url, capture timestamp). Oracle recomputes
+    md5 of the same deterministic HTML template in SQL — the pdf_extract
+    pattern applied to the ingestion edge."""
+    from tempeh_spark.warc import build_warc, parse_warc
+
+    pages = _docs_as_pages(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "url",
+        "html",
+        F.expr("doc_id div 50").alias("file_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+    )
+    recs = parse_warc(build_warc(pages))
+    return (
+        pages.alias("p")
+        .join(recs.alias("r"), "url")
+        .select(
+            F.col("p.doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("r.html")).alias("html_md5"),
+            (
+                F.col("r.error").isNull()
+                & (F.col("r.html") == F.col("p.html"))
+                & (F.col("r.warc_ts") == F.col("p.warc_ts"))
+            ).alias("ok"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_text": q_parse_text,
@@ -1409,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "hash_sample": q_hash_sample,
         "url_dedup": q_url_dedup,
+        "warc_roundtrip": q_warc_roundtrip,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
@@ -2137,6 +2170,14 @@ FROM documents GROUP BY 1
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
         "url_dedup": _oracle_url_dedup(),
+        "warc_roundtrip": """
+SELECT doc_id::BIGINT AS doc_id,
+       md5('<!DOCTYPE html><html><head><title>doc</title><script>var x = ''</div>'';</script></head><body><article><p>'
+           || text ||
+           '</p></article><footer><a href=x>nav nav nav</a></footer></body></html>') AS html_md5,
+       true AS ok
+FROM documents
+""",
         "corpus_stats": _oracle_corpus_stats(),
         "text_analysis": _oracle_text_analysis(),
         "bottomk_sketch": _oracle_bottomk_sketch(),

@@ -47,6 +47,7 @@ SUITE = (
     "simhash_pairs",
     "simhash60_pairs",
     "text_analysis",
+    "warc_roundtrip",
     "url_dedup",
     "line_dedup",
     "gopher_quality",
