@@ -1414,6 +1414,50 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink/anchor extraction over deterministic link-bearing pages:
+    three link variants per doc (quoted href with nested markup in the
+    anchor, unquoted href + a second fragment link, an href-less anchor
+    that must be skipped followed by an absolute url with a query). The
+    oracle predicts every (link_idx, href, anchor) row from the shared
+    generative spec — the media_dims pattern applied to the webgraph op."""
+    from tempeh_spark.links import extract_links
+
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 100).cast("string")
+    w = F.col("doc_id") % 3
+    links = (
+        F.when(w == 0, F.concat(F.lit('<a href="/p/'), g, F.lit('">go <b>now</b></a>')))
+        .when(
+            w == 1,
+            F.concat(F.lit("<a href=/q/"), g, F.lit('>first</a><a href="#frag">second</a>')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<a name=x>skip</a><a href="http://ex.com/'),
+                g,
+                F.lit('?a=1">Ex '),
+                g,
+                F.lit("</a>"),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><nav>"),
+        links,
+        F.lit("</nav></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return extract_links(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("link_idx").cast("long").alias("link_idx"),
+        "href",
+        "anchor",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_text": q_parse_text,
@@ -1442,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "url_dedup": q_url_dedup,
         "warc_roundtrip": q_warc_roundtrip,
+        "extract_links": q_extract_links,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
@@ -2170,6 +2215,20 @@ FROM documents GROUP BY 1
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
         "url_dedup": _oracle_url_dedup(),
+        "extract_links": """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % 100)::VARCHAR AS g, doc_id % 3 AS w
+  FROM documents
+)
+SELECT doc_id, 0::BIGINT AS link_idx,
+  CASE w WHEN 0 THEN '/p/' || g WHEN 1 THEN '/q/' || g
+         ELSE 'http://ex.com/' || g || '?a=1' END AS href,
+  CASE w WHEN 0 THEN 'go now' WHEN 1 THEN 'first' ELSE 'Ex ' || g END AS anchor
+FROM d
+UNION ALL
+SELECT doc_id, 1::BIGINT AS link_idx, '#frag' AS href, 'second' AS anchor
+FROM d WHERE w = 1
+""",
         "warc_roundtrip": """
 SELECT doc_id::BIGINT AS doc_id,
        md5('<!DOCTYPE html><html><head><title>doc</title><script>var x = ''</div>'';</script></head><body><article><p>'

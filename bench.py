@@ -48,6 +48,7 @@ SUITE = (
     "simhash60_pairs",
     "text_analysis",
     "warc_roundtrip",
+    "extract_links",
     "url_dedup",
     "line_dedup",
     "gopher_quality",
