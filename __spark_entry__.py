@@ -32,7 +32,10 @@ GOLDENS_PATH = REPO / "tests" / "goldens" / "goldens.json"
 # shared helpers
 # --------------------------------------------------------------------------
 
-NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+# whitespace spelled as the explicit class everywhere (never \s): Java's
+# \s includes \x0B, RE2's does not — see tempeh_spark.textops.WS.
+WS_SQL = r" \t\n\f\r"
+NORM_SQL = "trim(regexp_replace(lower({c}), '[" + WS_SQL + "]+', ' ', 'g'))"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +466,58 @@ FROM d
 """
 
 
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's update iteration from the literal gate codebook: the
+    assignment kernel (same as kmeans_assign) followed by per-(cell, dim)
+    means in EXACT fixed-point units (floor(x * 2^20 + 0.5) BIGINT sums —
+    order-independent, so Spark's partition-order and DuckDB's scan-order
+    summation provably agree; never avg(double)). This gates the full
+    training step of kmeans_fit (clustering.py) — init + iteration count
+    are the only ungated parts, pinned by pytest determinism tests."""
+    from tempeh_spark.clustering import kmeans_update
+
+    return kmeans_update(_emb(spark, sf_dir), _gate_centroids()).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("i").cast("int").alias("i"),
+        (F.col("m") + F.lit(0.0)).alias("m"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _oracle_kmeans_update() -> str:
+    cents = _gate_centroids()
+    d_cols = []
+    for j, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        d_cols.append(
+            f"(list_dot_product(v, v) - 2 * list_dot_product(v, {lit})) + {cc!r} AS d{j}"
+        )
+    m = "least(" + ", ".join(f"d{j}" for j in range(len(cents))) + ")"
+    cell = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = {m} THEN {j}" for j in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+d AS (SELECT vec_id, v, {", ".join(d_cols)} FROM e),
+a AS (SELECT v, ({cell})::INTEGER AS cell FROM d),
+x AS (
+  SELECT cell, unnest(generate_series(0, len(v) - 1)) AS i, unnest(v) AS x
+  FROM a
+)
+SELECT cell,
+       i::INTEGER AS i,
+       ((CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / count(*)) / 1048576.0 + 0.0) AS m,
+       count(*)::BIGINT AS n
+FROM x GROUP BY cell, i
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gates for every approximate path, measured against the exact
     ground truth computed independently by BOTH engines: ivf/lsh top-k vs
@@ -554,7 +609,7 @@ def _oracle_ann_recall_floor() -> str:
 # line documents into 8-word lines with a regex BOTH engines execute
 # identically (leftmost, non-overlapping, greedy \S+ — same in Java regex
 # and RE2): every 8th inter-word space becomes a newline.
-_LINE_RX = r"((\S+ ){7}\S+) "
+_LINE_RX = r"(([^ \t\n\f\r]+ ){7}[^ \t\n\f\r]+) "
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,7 +632,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_line_dedup() -> str:
     return rf"""
 WITH lined AS (
-  SELECT doc_id, regexp_replace(text, '((\S+ ){{7}}\S+) ', '\1' || chr(10), 'g') AS t
+  SELECT doc_id, regexp_replace(text, '(([^ \t\n\f\r]+ ){{7}}[^ \t\n\f\r]+) ', '\1' || chr(10), 'g') AS t
   FROM documents
 ),
 segs AS (
@@ -631,7 +686,7 @@ def _oracle_gopher_quality() -> str:
     g = _GOPHER
     return r"""
 WITH w AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS w
   FROM documents
 ),
 wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
@@ -707,7 +762,7 @@ def _oracle_decontaminate() -> str:
     return r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 sh AS (
@@ -815,7 +870,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_repetition_signals() -> str:
     return r"""
 WITH w AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 bi AS (
@@ -862,13 +917,18 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` and DuckDB `quantile_cont` both implement the R-7 linear
     interpolation): the dataset card numbers a training-data pipeline
     publishes."""
+    from tempeh_spark.textops import WS
+
     docs = _docs(spark, sf_dir)
-    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+    toks = F.size(F.filter(F.split("text", rf"[{WS}]+"), lambda x: x != F.lit("")))
     base = docs.select(F.col("n_chars").cast("double").alias("c"), toks.cast("double").alias("t"))
+    # mean via exact BIGINT sum / count — NEVER round(avg(double)) (CLAUDE.md
+    # float rule): n_chars is integer-valued so the sum is exact, and the one
+    # IEEE division is bit-identical in both engines; no final round.
     return base.agg(
         F.count("*").cast("long").alias("docs"),
         F.sum("c").cast("long").alias("total_chars"),
-        F.round(F.avg("c"), 4).alias("mean_chars"),
+        (F.sum("c").cast("long").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
         F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_chars"),
         F.round(F.expr("percentile(c, 0.9)"), 4).alias("p90_chars"),
         F.sum("t").cast("long").alias("total_tokens"),
@@ -881,12 +941,12 @@ def _oracle_corpus_stats() -> str:
     return r"""
 WITH b AS (
   SELECT n_chars::DOUBLE AS c,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS t
+         len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> ''))::DOUBLE AS t
   FROM documents
 )
 SELECT count(*)::BIGINT AS docs,
        sum(c)::BIGINT AS total_chars,
-       round(avg(c), 4) AS mean_chars,
+       (CAST(sum(c) AS BIGINT)::DOUBLE / count(*)) AS mean_chars,
        round(quantile_cont(c, 0.5), 4) AS p50_chars,
        round(quantile_cont(c, 0.9), 4) AS p90_chars,
        sum(t)::BIGINT AS total_tokens,
@@ -967,19 +1027,19 @@ def _stable_avg(value_col: str):
 
     * ``round(avg(double), 4)`` is summation-order-sensitive across engines
       (Spark sums in partition order, DuckDB in scan order);
-    * any FINAL ``round`` of a double that lands exactly on a .00005
-      boundary diverges by construction: Spark's round goes through the
-      shortest-decimal repr (HALF_UP on Double.toString), DuckDB rounds the
-      binary value — and grid-aligned sums land on such boundaries often.
+    * ANY engine-native ``round`` of a double — aggregate OR per-element —
+      diverges on .00005 boundaries: Spark rounds the shortest-decimal repr
+      (HALF_UP on Double.toString), DuckDB rounds the binary value. So the
+      per-element gridding here is ``floor(x * 10000 + 0.5)``: plain IEEE
+      multiply/add/floor on the binary value, bit-identical in both engines
+      for every input (round-half-toward-+inf at 1e-4), never a repr.
     """
-    units = F.sum(
-        (F.round(F.col(value_col), 4).cast("decimal(18,4)") * 10000).cast("long")
-    )
+    units = F.sum(F.floor(F.col(value_col) * 10000 + F.lit(0.5)).cast("long"))
     return (units.cast("double") / F.count(F.lit(1))) / F.lit(10000.0)
 
 
 _STABLE_AVG_SQL = (
-    "(CAST(sum(CAST(CAST(round({c}, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)"
+    "(CAST(sum(CAST(floor({c} * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
     " / count(*)) / 10000.0"
 )
 
@@ -1324,30 +1384,32 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-side dedup: canonicalize messy url spellings (scheme/host case,
     default ports, tracking params, fragments — urlops.py rules) and keep
     the min doc_id per canonical url. The messy urls are synthesized
-    deterministically from doc_id: ~300 url "groups" x 7 spelling variants,
-    so some variants collapse under canonicalization (case/port/tracking)
-    and some stay distinct (http vs https, non-default ports) — both sides
-    of the decision are exercised. Oracle applies the identical rules in
-    DuckDB regexp syntax."""
+    deterministically from doc_id: url "groups" of 7 consecutive doc_ids
+    (g = doc_id div 7) x 7 spelling variants (w = doc_id % 7), so some
+    variants collapse under canonicalization (w=0/1/5 on case/port/
+    tracking/userinfo; w=2/3 on :443/tracking) and some stay distinct
+    (w=4: non-default port + non-tracking param; w=6: percent-escapes,
+    whose hex case is normalized but whose path stays unique) — both
+    sides of the decision are exercised. Oracle applies the identical
+    rules in DuckDB regexp syntax."""
     from tempeh_spark.urlops import url_dedup
 
     d = _docs(spark, sf_dir).select("doc_id")
-    g = (F.col("doc_id") % 100).cast("long")
-    w = F.expr("(doc_id div 100) % 5")
-    # five spelling variants per url group; under the canonicalization
-    # rules w=0 collapses with w=1 and w=2 with w=3, w=4 stays distinct
+    g = F.expr("doc_id div 7").cast("long")
+    w = (F.col("doc_id") % 7).cast("int")
     scheme = (
-        F.when(w == 0, "http")
-        .when(w == 1, "HTTP")
-        .when(w == 4, "http")
-        .otherwise("https")
+        F.when(w == 1, "HTTP").when((w == 2) | (w == 3), "https").otherwise("http")
     )
+    userinfo = F.when(w == 5, "User:Pass@").otherwise("")
     port = (
-        F.when(w == 0, ":80")
+        F.when((w == 0) | (w == 5), ":80")
         .when(w == 2, ":443")
         .when(w == 4, ":8080")
         .otherwise("")
     )
+    path = F.when(
+        w == 6, F.concat(F.lit("/Articles/x%3a"), g.cast("string"))
+    ).otherwise(F.concat(F.lit("/Articles/"), g.cast("string")))
     query = (
         F.when(
             w == 0,
@@ -1356,6 +1418,8 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(w == 1, F.concat(F.lit("?utm_campaign=x&id="), g.cast("string")))
         .when(w == 2, F.lit("?utm_medium=email"))
         .when(w == 4, F.lit("?a=1&fbclid=XYZ"))
+        .when(w == 5, F.concat(F.lit("?id="), g.cast("string")))
+        .when(w == 6, F.lit("?tag=caf%c3%a9"))
         .otherwise("")
     )
     frag = F.when(
@@ -1363,12 +1427,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("")
     url = F.concat(
         scheme,
-        F.lit("://WWW.Site"),
+        F.lit("://"),
+        userinfo,
+        F.lit("WWW.Site"),
         (g % 7).cast("string"),
         F.lit(".Example.COM"),
         port,
-        F.lit("/Articles/"),
-        g.cast("string"),
+        path,
         query,
         frag,
     )
@@ -1498,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_recall_floor": q_ann_recall_floor,
         "kmeans_assign": q_kmeans_assign,
+        "kmeans_update": q_kmeans_update,
         "hourly_events": q_hourly_events,
         "streaming_hourly": q_streaming_hourly,
         "streaming_sink": q_streaming_sink,
@@ -1762,11 +1828,13 @@ _EN = r"\b(the|and|of|to|in|is|you|that|it|for)\b"
 _DE = r"\b(der|die|und|das|nicht|ist|ich|ein|zu|den)\b"
 _FR = r"\b(le|la|les|et|des|un|une|est|dans|que)\b"
 _ES = r"\b(el|los|que|de|no|un|es|por|con|para)\b"
-_TOKEN_RX_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_TOKEN_RX_SQL = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_SQL}]"
 
 
 def _oracle_text_analysis() -> str:
-    ntok = "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    ntok = (
+        "len(list_filter(string_split_regex(text, '[" + WS_SQL + "]+'), x -> x <> ''))"
+    )
 
     def rc(subject: str, rx: str) -> str:
         return f"len(regexp_extract_all({subject}, '{rx}'))"
@@ -1788,7 +1856,9 @@ def _oracle_text_analysis() -> str:
     alpha = f"round({rc('text', '[A-Za-z]')} / {n}, 4)"
     digit = f"round({rc('text', '[0-9]')} / {n}, 4)"
     punct = f"round({rc('text', '[.,;:!?]')} / {n}, 4)"
-    mean_tok = f"round(len(regexp_replace(text, '\\s+', '', 'g')) / {toks}, 4)"
+    mean_tok = (
+        f"round(len(regexp_replace(text, '[{WS_SQL}]+', '', 'g')) / {toks}, 4)"
+    )
     stop = f"round({rc('lower(text)', _EN)} / {toks}, 4)"
     raw = (
         f"0.4 * {alpha} + 0.3 * least({stop} * 2, 1.0) "
@@ -2136,8 +2206,9 @@ def _oracle_url_dedup() -> str:
     pre = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
     nofrag = "regexp_replace(url, '#.*$', '')"
     prefix = (
-        f"regexp_replace(regexp_replace("
+        f"regexp_replace(regexp_replace(regexp_replace("
         f"lower(regexp_extract({nofrag}, '{pre}', 1)), "
+        f"'^([a-z][a-z0-9+.-]*://)[^/?#@]*@', '\\1'), "
         f"'^(http://[^:/?#]*):80$', '\\1'), "
         f"'^(https://[^:/?#]*):443$', '\\1')"
     )
@@ -2148,20 +2219,31 @@ def _oracle_url_dedup() -> str:
         f"'\\?({tr})=[^&]*&', '?'), "
         f"'\\?({tr})=[^&]*$', '')"
     )
+    # percent-escape hex uppercasing: the same 12-pass chain as urlops.py
+    # rule 6 (position 1 per hex letter, then position 2)
+    for c in "abcdef":
+        rest = f"regexp_replace({rest}, '%{c}([0-9a-fA-F])', '%{c.upper()}\\1', 'g')"
+    for c in "abcdef":
+        rest = f"regexp_replace({rest}, '%([0-9A-F]){c}', '%\\1{c.upper()}', 'g')"
     return f"""
 WITH syn AS (
   SELECT doc_id::BIGINT AS doc_id,
     concat(
-      CASE (doc_id // 100) % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 4 THEN 'http' ELSE 'https' END,
-      '://WWW.Site', ((doc_id % 100) % 7)::VARCHAR, '.Example.COM',
-      CASE (doc_id // 100) % 5 WHEN 0 THEN ':80' WHEN 2 THEN ':443' WHEN 4 THEN ':8080' ELSE '' END,
-      '/Articles/', (doc_id % 100)::VARCHAR,
-      CASE (doc_id // 100) % 5
-        WHEN 0 THEN concat('?id=', (doc_id % 100)::VARCHAR, '&utm_source=feed&ref=tw')
-        WHEN 1 THEN concat('?utm_campaign=x&id=', (doc_id % 100)::VARCHAR)
+      CASE doc_id % 7 WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' WHEN 3 THEN 'https' ELSE 'http' END,
+      '://',
+      CASE doc_id % 7 WHEN 5 THEN 'User:Pass@' ELSE '' END,
+      'WWW.Site', ((doc_id // 7) % 7)::VARCHAR, '.Example.COM',
+      CASE doc_id % 7 WHEN 0 THEN ':80' WHEN 5 THEN ':80' WHEN 2 THEN ':443' WHEN 4 THEN ':8080' ELSE '' END,
+      CASE doc_id % 7 WHEN 6 THEN concat('/Articles/x%3a', (doc_id // 7)::VARCHAR)
+                      ELSE concat('/Articles/', (doc_id // 7)::VARCHAR) END,
+      CASE doc_id % 7
+        WHEN 0 THEN concat('?id=', (doc_id // 7)::VARCHAR, '&utm_source=feed&ref=tw')
+        WHEN 1 THEN concat('?utm_campaign=x&id=', (doc_id // 7)::VARCHAR)
         WHEN 2 THEN '?utm_medium=email'
-        WHEN 4 THEN '?a=1&fbclid=XYZ' ELSE '' END,
-      CASE WHEN ((doc_id // 100) % 5) % 2 = 0 THEN concat('#section-', ((doc_id % 100) % 9)::VARCHAR) ELSE '' END
+        WHEN 4 THEN '?a=1&fbclid=XYZ'
+        WHEN 5 THEN concat('?id=', (doc_id // 7)::VARCHAR)
+        WHEN 6 THEN '?tag=caf%c3%a9' ELSE '' END,
+      CASE WHEN (doc_id % 7) % 2 = 0 THEN concat('#section-', ((doc_id // 7) % 9)::VARCHAR) ELSE '' END
     ) AS url
   FROM documents
 ), canon AS (
@@ -2207,6 +2289,7 @@ FROM documents GROUP BY 1
         "ann_recall": _oracle_ann_recall(),
         "ann_recall_floor": _oracle_ann_recall_floor(),
         "kmeans_assign": _oracle_kmeans_assign(),
+        "kmeans_update": _oracle_kmeans_update(),
         "line_dedup": _oracle_line_dedup(),
         "gopher_quality": _oracle_gopher_quality(),
         "host_cap": _oracle_host_cap(),

@@ -13,8 +13,12 @@ Spark shapes:
   avg, map-side combinable). All corpus data stays on executors; the
   driver sees only the k x dim centroid matrix per round (tiny by
   construction) and the convergence delta. Deterministic: initial
-  centroids are the k lowest-id vectors, iteration count fixed, so reruns
-  produce identical codebooks.
+  centroids are the k lowest-id vectors, iteration count fixed, and the
+  per-cell means use EXACT fixed-point accumulation (``kmeans_update`` —
+  never ``avg(double)``, whose partition-order summation varies by run),
+  so reruns produce bit-identical codebooks.
+* ``kmeans_update`` — the gated single update step (DuckDB literal-codebook
+  twin ``kmeans_update`` in ``__spark_entry__``).
 """
 
 from __future__ import annotations
@@ -83,6 +87,52 @@ def kmeans_assign(
     ).select("vec_id", F.col("a.cell").alias("cell"), F.col("a.dist2").alias("dist2"))
 
 
+def kmeans_update(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    grid_bits: int = 20,
+) -> DataFrame:
+    """One Lloyd's update step: assign every vector to its nearest centroid
+    (broadcast-closure Arrow pass, no shuffle), then per-(cell, dim) means
+    in EXACT fixed-point arithmetic. Returns (cell, i, m, n) rows.
+
+    Order-independence: ``F.avg(double)`` sums in partition order, so two
+    runs (or two engines) can differ in the last ulp — enough to flip a
+    later argmin. Instead each coordinate is gridded to ``2**-grid_bits``
+    units via ``floor(x * 2**grid_bits + 0.5)`` (plain IEEE multiply/add/
+    floor — bit-identical in Spark and DuckDB), the BIGINT units are summed
+    exactly (any partition order), and one IEEE division chain produces the
+    mean. The result is deterministic across reruns, partitionings, and
+    engines; quantization error is <= 2**-(grid_bits+1) per element.
+
+    grid_bits=20 keeps |sum| < 2**53 (exact in the double cast) for cells
+    up to ~2**30 members at |x| <= 4 — raise partitional k or lower
+    grid_bits beyond that scale.
+
+    Physical shape: one ArrowEvalPython projection + posexplode + a single
+    map-side-combined hash-agg on (cell, i) — k*dim output rows."""
+    a = _assign_udf(centroids)
+    scale = float(1 << grid_bits)
+    return (
+        df.select(F.col(vec_col).alias("v"), a(F.col(vec_col))["cell"].alias("cell"))
+        .select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long")
+            ).alias("units"),
+        )
+        .select(
+            "cell",
+            "i",
+            ((F.col("units").cast("double") / F.col("n")) / F.lit(scale)).alias("m"),
+            "n",
+        )
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -94,10 +144,11 @@ def kmeans_fit(
     """Lloyd's k-means. Returns (centroids, assignments DataFrame).
 
     Init = the k lowest-id vectors (deterministic, data-dependent). Each
-    round: broadcast-closure assignment (one Arrow pass), then per-cell
-    means via posexplode + one hash-agg. Empty cells keep their previous
-    centroid. Stops when max centroid movement (squared) drops below
-    ``tol`` or after ``max_iter`` rounds."""
+    round is one ``kmeans_update`` (broadcast-closure assignment + exact
+    fixed-point per-cell means — order-independent, so reruns produce
+    BIT-identical codebooks regardless of partitioning). Empty cells keep
+    their previous centroid. Stops when max centroid movement (squared)
+    drops below ``tol`` or after ``max_iter`` rounds."""
     seed_rows = (
         df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -107,15 +158,9 @@ def kmeans_fit(
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
     centroids = [[float(x) for x in r["v"]] for r in seed_rows]
-    assigned = None
     for _ in range(max_iter):
-        assigned = kmeans_assign(df, centroids, id_col, vec_col)
         means = (
-            df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-            .join(assigned, "vec_id")
-            .select("cell", F.posexplode("v").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
+            kmeans_update(df, centroids, vec_col)
             .groupBy("cell")
             .agg(
                 F.transform(

@@ -27,9 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tempeh_spark.textops import WS
+
 
 def _words(text_col: str):
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    # explicit whitespace class, not \s: see textops.WS (Java-vs-RE2 \x0B)
+    return F.filter(F.split(F.col(text_col), rf"[{WS}]+"), lambda x: x != F.lit(""))
 
 
 def segment_dedup(
@@ -175,7 +178,7 @@ def word_shingle_rows(
     substrate. Words split on whitespace, lowercased; docs shorter than
     ``ngram`` words yield no shingles (explicit filter — Spark sequences
     run DESCENDING when end < start, which would fabricate rows)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    words = F.filter(F.split(F.lower(F.col(text_col)), rf"[{WS}]+"), lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("id"), words.alias("ws"))
     pos = base.where(F.size("ws") >= ngram).select(
         "id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - (ngram - 1))).alias("i")

@@ -25,13 +25,18 @@ LANG_STOPWORDS = {
 }
 
 # word-ish tokens: letter runs, digit runs, single other non-space symbols
-TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# NOTE: whitespace is spelled as the explicit class [ \t\n\f\r] everywhere
+# (never \s): Java's \s includes \x0B (vertical tab) while DuckDB/RE2's does
+# not, so \s would silently diverge between a Spark op and its oracle twin on
+# pathological input. The explicit class is identical in both engines.
+WS = r" \t\n\f\r"
+TOKEN_RX = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS}]"
 
 
 def token_count(col: Column | str = "text") -> Column:
     """Whitespace token count (empty tokens dropped)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+    return F.size(F.filter(F.split(c, rf"[{WS}]+"), lambda x: x != F.lit("")))
 
 
 def regex_token_count(col: Column | str = "text") -> Column:
@@ -70,7 +75,7 @@ def quality_features(col: Column | str = "text") -> dict[str, Column]:
         "punct_ratio": F.round(F.regexp_count(c, F.lit(r"[.,;:!?]")) / n, 4),
         "upper_ratio": F.round(F.regexp_count(c, F.lit(r"[A-Z]")) / n, 4),
         "mean_token_len": F.round(
-            F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(toks, F.lit(1)), 4
+            F.length(F.regexp_replace(c, rf"[{WS}]+", "")) / F.greatest(toks, F.lit(1)), 4
         ),
         "stopword_ratio": F.round(
             F.regexp_count(F.lower(c), F.lit(LANG_STOPWORDS["en"]))
@@ -99,7 +104,7 @@ def quality_score(col: Column | str = "text") -> Column:
 def normalize_text(col: Column | str = "text") -> Column:
     """Dedup normalization: lowercase + whitespace collapse + trim."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), rf"[{WS}]+", " "))
 
 
 def fingerprint(col: Column | str = "text") -> Column:

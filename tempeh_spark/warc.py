@@ -108,9 +108,12 @@ def parse_records(blob: bytes) -> list[tuple]:
                 out.append((None, None, None, start, "malformed WARC header line"))
                 ok = False
                 break
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1"
-            )
+            # WARC 1.1 §5 header values are UTF-8; decode with replacement so
+            # a stray byte degrades one header, never the record framing
+            # (framing is Content-Length-based, computed on raw bytes above).
+            headers[
+                k.strip().decode("utf-8", errors="replace").lower()
+            ] = v.strip().decode("utf-8", errors="replace")
         if not ok:
             pos = hdr_end + 4
             continue

@@ -33,6 +33,10 @@ DOCS = [
     (13, "O'Reilly's \"quoted\" text with 'apostrophes' and backslash \\ chars here"),
     (14, "123 456 789 0 11 22 33 44 55 66"),  # digits only: alpha_word_frac = 0
     (15, "alpha beta gamma delta epsilon zeta eta theta " * 3),  # line-dup of 11
+    # \x0B (vertical tab): Java's \s contains it, RE2's does not — ops and
+    # twins must both use the explicit class [ \t\n\f\r] so this doc
+    # tokenizes identically in Spark and DuckDB (ADVICE-r03).
+    (16, "vertical\x0Btab glued\x0Bwords stay single tokens in both engines"),
 ]
 
 TWINNED = [

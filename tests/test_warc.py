@@ -39,6 +39,24 @@ def test_payload_containing_warc_magic_does_not_desync():
     assert rows[1][0] == "http://a/next"
 
 
+def test_non_ascii_url_roundtrips_utf8():
+    # WARC 1.1 headers are UTF-8; read(build(x)) must preserve non-ASCII URLs
+    url = "http://example.com/café/日本語?q=ü"
+    rows = parse_records(rec(url=url))
+    assert len(rows) == 1
+    assert rows[0][4] is None and rows[0][0] == url
+
+
+def test_invalid_utf8_header_byte_degrades_value_not_framing():
+    # a raw 0xE9 (latin-1 'é') in a header value is not valid UTF-8: the
+    # value gets U+FFFD but framing (raw-byte Content-Length) is untouched
+    r = rec(url="http://a/x").replace(b"http://a/x", b"http://a/caf\xe9x")
+    rows = parse_records(r)
+    assert len(rows) == 1 and rows[0][4] is None
+    assert rows[0][0] == "http://a/caf�x"
+    assert rows[0][2] == b"<p>hi</p>"
+
+
 def test_truncated_body_is_error_row():
     full = rec(html=b"0123456789")
     rows = parse_records(full[:-16])  # cut into the body
