@@ -1266,13 +1266,20 @@ _DIM_VARIANTS = [
     ("gif", (1024, 768), "gif", 1024, 768, None, None, None, None),
     ("png", (640, 480), "png", 640, 480, None, None, None, None),
     ("png", (16, 16), "png", 16, 16, None, None, None, None),
+    # mp3: (n_frames, bitrate_kbps, sample_rate, mono, id3_pad);
+    # duration_ms = n_frames * 1152 * 1000 // rate (MPEG1 Layer III)
+    ("mp3", (38, 128, 44100, False, 17), "mp3", None, None, 2, 44100, 992, None),
+    ("mp3", (10, 32, 32000, True, 0), "mp3", None, None, 1, 32000, 360, None),
+    # mp4: (timescale, duration, mvhd version); duration_ms = d * 1000 // ts
+    ("mp4", (600, 7200, 0), "mp4", None, None, None, None, 12000, None),
+    ("mp4", (90000, 123456789, 1), "mp4", None, None, None, None, 1371742, None),
     ("jpeg", (), None, None, None, None, None, None, _JPEG_ERR),
     ("junk", (), None, None, None, None, None, None, "unsupported format: unknown"),
 ]
 
 
 def _dim_header(kind: str, args: tuple) -> bytes:
-    from tempeh_spark.multimodal import make_gif, make_png, make_wav
+    from tempeh_spark.multimodal import make_gif, make_mp3, make_mp4, make_png, make_wav
 
     if kind == "wav":
         return make_wav(*args)
@@ -1282,6 +1289,12 @@ def _dim_header(kind: str, args: tuple) -> bytes:
         return make_gif(*args)
     if kind == "png":
         return make_png(*args)
+    if kind == "mp3":
+        n, br, sr, mono, pad = args
+        return make_mp3(n, br, sr, mono=mono, id3_pad=pad)
+    if kind == "mp4":
+        ts, dur, ver = args
+        return make_mp4(ts, dur, version=ver)
     if kind == "jpeg":
         return b"\xff\xd8\xff\xe0\x00\x10JFIF"
     return b"JUNK0000"  # no magic matches; bytes 4:8 != 'ftyp'
@@ -1303,9 +1316,11 @@ def _docs_as_dim_media(df: DataFrame) -> DataFrame:
 
 def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real stdlib media decoding: WAV fmt/data chunk walk (channels, rate,
-    duration), PNG IHDR and GIF screen-descriptor dimensions, parsed from
-    actual container bytes built by multimodal.make_*; codec-requiring
-    formats surface as per-row errors."""
+    duration), PNG IHDR and GIF screen-descriptor dimensions, MP3 ID3-skip
+    + MPEG frame-header walk (channels, rate, summed-frame duration), MP4
+    moov/mvhd box walk (timescale/duration) — all parsed from actual
+    container bytes built by multimodal.make_*; the remaining
+    codec-requiring format (jpeg pixels) surfaces as a per-row error."""
     from tempeh_spark.multimodal import media_dims
 
     media = _docs_as_dim_media(_docs(spark, sf_dir))

@@ -24,8 +24,16 @@ MEASUREMENT ORDER (round-4): parse_extract is timed FIRST, right after a
 minimal worker/parse warm-up and BEFORE any other query shape compiles —
 round-3 measured parse 2.65 -> 3.22 s when a 24-shape warm-up preceded it
 (JIT code-cache pollution from the shingle-join compiles). Each suite
-query then warms its own shape once at sf0.001 immediately before its
-timed reps — per-query steady state without cross-query pollution.
+query then warms its own shape once at sf0.001 (janino compile + Python
+imports) AND once untimed at SF_DIR before its timed reps: the first
+at-scale execution pays HotSpot C2 tier-up of the post-AQE generated code
+(measured: dedup_decisions 10-15 s cold vs 3-4 s steady regardless of
+small-corpus warming — AQE picks a different physical plan at sf0.1, so
+sf0.001 warming cannot pre-compile it). The cold run is recorded per
+query as cold_first_run_sec in the evidence file; the timed reps are
+steady-state — what every long-running executor sees after its first few
+tasks. See BENCH/PLANS.md §JIT for the hugeMethodLimit/methodSplit
+investigation (rejected: -30-40%% on other queries).
 """
 
 from __future__ import annotations
@@ -185,8 +193,12 @@ def main() -> None:
     # ---- operator suite: per-query warm at sf0.001, then timed reps ----
     qs = entrymod.queries()
     t_w = time.perf_counter()
+    cold_runs: dict[str, float] = {}
     for name in SUITE:
         qs[name](spark, WARM_DIR).count()  # compile THIS shape only
+        t_c = time.perf_counter()  # C2 tier-up run at scale, recorded not timed
+        qs[name](spark, SF_DIR).count()
+        cold_runs[name] = round(time.perf_counter() - t_c, 3)
         rows_box = {}
 
         def run_q(name=name):
@@ -215,6 +227,7 @@ def main() -> None:
         {
             "steal_pct_at_best": steals,
             "query_reps_sec": reps_log,
+            "cold_first_run_sec": cold_runs,
             "reps": REPS,
             "sf": _SF,
             "cpus": CPUS,

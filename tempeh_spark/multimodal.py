@@ -90,6 +90,141 @@ def _fake_feature(data: bytes, dim: int = 16) -> list[float]:
     return out
 
 
+# MPEG audio frame header tables (ISO/IEC 11172-3 / 13818-3, public spec).
+# bitrate kbps by [version-group][layer][index]; index 0 = free, 15 = bad.
+_MP3_BITRATES = {
+    # MPEG1: layer 1, 2, 3
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG2 / MPEG2.5 share tables: layer 1, then layer 2&3
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000), 25: (11025, 12000, 8000)}
+
+
+def _mp3_frame(data: bytes, off: int):
+    """Parse one MPEG audio frame header at ``off``; returns
+    (frame_len, samples, rate, channels) or None if not a valid frame."""
+    if off + 4 > len(data) or data[off] != 0xFF or (data[off + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = data[off + 1], data[off + 2], data[off + 3]
+    ver_bits = (b1 >> 3) & 0x3  # 00=2.5, 01=reserved, 10=MPEG2, 11=MPEG1
+    layer_bits = (b1 >> 1) & 0x3  # 01=III, 10=II, 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:  # free/bad bitrate, reserved rate
+        return None
+    vgroup = 1 if version == 1 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    elif layer == 2:
+        frame_len = 144 * bitrate // rate + padding
+        samples = 1152
+    else:  # layer III
+        if version == 1:
+            frame_len, samples = 144 * bitrate // rate + padding, 1152
+        else:
+            frame_len, samples = 72 * bitrate // rate + padding, 576
+    return frame_len, samples, rate, channels
+
+
+def decode_mp3_headers(data: bytes) -> dict:
+    """MPEG audio stream decode from frame HEADERS only (no codec): skip an
+    ID3v2 tag (10-byte header + syncsafe size), then walk consecutive
+    frames — each frame declares its own length via the public
+    bitrate/sample-rate tables — until the first non-frame byte. Duration
+    is summed frame sample counts over the sample rate, so trailing junk
+    after the last valid frame is ignored (declared sizes, never
+    len(data))."""
+    off = 0
+    if data.startswith(b"ID3"):
+        if len(data) < 10:
+            raise ValueError("mp3: truncated ID3v2 tag")
+        sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        off = 10 + sz
+    first = _mp3_frame(data, off)
+    if first is None:
+        raise ValueError("mp3: no MPEG audio frame sync after ID3 tag")
+    _, _, rate, channels = first
+    total_samples = 0
+    while (fr := _mp3_frame(data, off)) is not None:
+        frame_len, samples, _, _ = fr
+        if frame_len <= 0:
+            break
+        total_samples += samples
+        off += frame_len
+    return {"fmt": "mp3", "width": None, "height": None, "channels": channels,
+            "sample_rate_hz": rate, "duration_ms": total_samples * 1000 // rate}
+
+
+def decode_mp4_mvhd(data: bytes) -> dict:
+    """ISO-BMFF (mp4/mov) movie-header decode: top-level box walk to
+    ``moov``, then its children to ``mvhd``; timescale/duration at the
+    version-dependent fixed offsets (v0: u32s after 4+8 bytes; v1: u64
+    duration after u64 times). Box sizes are declared (size==1 -> 64-bit
+    largesize; size==0 -> to end); trailing junk after a closed box walk is
+    never read."""
+    import struct
+
+    def walk(start: int, end: int, fourcc: bytes):
+        off = start
+        while off + 8 <= end:
+            size = struct.unpack_from(">I", data, off)[0]
+            name = data[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:
+                if off + 16 > end:
+                    break
+                size = struct.unpack_from(">Q", data, off + 8)[0]
+                body = off + 16
+            elif size == 0:
+                size = end - off
+            if size < 8 or off + size > end:
+                break
+            if name == fourcc:
+                return body, off + size
+            off += size
+        return None
+
+    moov = walk(0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box in moov")
+    import struct as _s
+
+    body = mvhd[0]
+    version = data[body]
+    if version == 0:
+        if body + 20 > mvhd[1]:
+            raise ValueError("mp4: truncated mvhd v0")
+        timescale, duration = _s.unpack_from(">II", data, body + 12)
+    elif version == 1:
+        if body + 32 > mvhd[1]:
+            raise ValueError("mp4: truncated mvhd v1")
+        timescale = _s.unpack_from(">I", data, body + 20)[0]
+        duration = _s.unpack_from(">Q", data, body + 24)[0]
+    else:
+        raise ValueError(f"mp4: unknown mvhd version {version}")
+    if not timescale:
+        raise ValueError("mp4: zero mvhd timescale")
+    return {"fmt": "mp4", "width": None, "height": None, "channels": None,
+            "sample_rate_hz": None, "duration_ms": duration * 1000 // timescale}
+
+
 def decode_media_headers(data: bytes) -> dict:
     """REAL pure-stdlib container decoding for the header-decodable subset:
 
@@ -97,14 +232,19 @@ def decode_media_headers(data: bytes) -> dict:
       duration from the ``data`` chunk size over the byte rate;
     * PNG  — IHDR width/height (big-endian u32 at offsets 16/20, after
       validating the 8-byte signature and the IHDR chunk tag);
-    * GIF  — logical screen width/height (little-endian u16 at 6/8).
+    * GIF  — logical screen width/height (little-endian u16 at 6/8);
+    * MP3  — ID3v2 skip + MPEG audio frame-header walk (channels, sample
+      rate, duration from summed per-frame sample counts);
+    * MP4  — ISO-BMFF box walk to moov/mvhd (duration from
+      timescale+duration fields).
 
     Returns ``{"fmt", "width", "height", "channels", "sample_rate_hz",
     "duration_ms"}`` with None for fields the format lacks. Raises
-    ``NotImplementedError`` for formats whose payload needs a codec this
-    container doesn't ship (jpeg pixels, mp4 frames), ``ValueError`` for
-    malformed/unsupported bytes. Trailing junk after a valid container is
-    ignored (sizes come from the declared fields, never from len(data))."""
+    ``NotImplementedError`` only at the honest codec boundary — pixel/
+    sample PAYLOAD decode (jpeg pixels, mp4 frames, mp3 PCM) — and
+    ``ValueError`` for malformed/unsupported bytes. Trailing junk after a
+    valid container is ignored (sizes come from the declared fields, never
+    from len(data))."""
     import struct
 
     magic = sniff_magic(data)
@@ -138,17 +278,22 @@ def decode_media_headers(data: bytes) -> dict:
             raise ValueError("wav: missing fmt or data chunk")
         return {"fmt": "wav", "width": None, "height": None, "channels": channels,
                 "sample_rate_hz": rate, "duration_ms": data_size * 1000 // byte_rate}
-    if magic in ("jpeg", "mp4", "mp3"):
+    if magic == "mp3" or (magic == "unknown" and _mp3_frame(data, 0) is not None):
+        return decode_mp3_headers(data)
+    if magic == "mp4":
+        return decode_mp4_mvhd(data)
+    if magic == "jpeg":
         raise NotImplementedError(
-            f"{magic}: payload decode requires codec libraries not present "
+            "jpeg: payload decode requires codec libraries not present "
             "in this environment; wire PIL/av/librosa here for production"
         )
     raise ValueError(f"unsupported format: {magic}")
 
 
 def decode_media(data: bytes) -> dict:
-    """The decode hook: header-level decode for wav/png/gif (real, stdlib);
-    ``NotImplementedError`` for codec-requiring payloads (jpeg/mp4/mp3)."""
+    """The decode hook: header-level decode for wav/png/gif/mp3/mp4 (real,
+    stdlib); ``NotImplementedError`` only for pixel-payload formats
+    (jpeg)."""
     return decode_media_headers(data)
 
 
@@ -212,6 +357,57 @@ def make_gif(width: int, height: int, version: bytes = b"GIF89a") -> bytes:
     import struct
 
     return version + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def make_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    mono: bool = False,
+    id3_pad: int = 0,
+) -> bytes:
+    """A minimal VALID MPEG1 Layer III stream: optional ID3v2 tag (syncsafe
+    size = ``id3_pad``), then ``n_frames`` correctly-sized frames (header +
+    zero payload). Deterministic gate/test corpus builder."""
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(sample_rate)
+    mode = 0b11 if mono else 0b00  # 11 = single channel
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (0x3 << 3) | (0x1 << 1) | 0x1,  # MPEG1, layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),  # no padding
+            mode << 6,
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3_pad:
+        out = b"ID3\x04\x00\x00" + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F, (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        ) + b"\x00" * id3_pad
+    return out + frame * n_frames
+
+
+def make_mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+    """A minimal VALID ISO-BMFF file: ftyp box + moov box whose first child
+    is an mvhd (v0 or v1) carrying ``timescale``/``duration``."""
+    import struct
+
+    ftyp = b"ftypisom" + struct.pack(">I", 0x200) + b"isomiso2"
+    ftyp = struct.pack(">I", len(ftyp) + 4) + ftyp
+    if version == 0:
+        mvhd_body = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0) + struct.pack(
+            ">II", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd_body = b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0) + struct.pack(
+            ">I", timescale
+        ) + struct.pack(">Q", duration) + b"\x00" * 80
+    mvhd = struct.pack(">I", len(mvhd_body) + 8) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", len(mvhd) + 8) + b"moov" + mvhd
+    return ftyp + moov
 
 
 def make_png(width: int, height: int) -> bytes:

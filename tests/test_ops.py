@@ -238,6 +238,24 @@ def test_media_dims_decoding(spark):
     d = decode_media_headers(make_gif(13, 7, version=b"GIF87a"))
     assert (d["fmt"], d["width"], d["height"]) == ("gif", 13, 7)
 
+    # mp3: ID3v2 skip, frame walk honoring per-frame declared lengths,
+    # duration from summed sample counts; trailing junk ignored
+    from tempeh_spark.multimodal import make_mp3, make_mp4
+
+    d = decode_media_headers(make_mp3(38, 128, 44100, id3_pad=17) + b"junk")
+    assert (d["fmt"], d["channels"], d["sample_rate_hz"], d["duration_ms"]) == (
+        "mp3", 2, 44100, 38 * 1152 * 1000 // 44100,
+    )
+    # bare stream (no ID3), mono, MPEG1 tables at a different rate
+    d = decode_media_headers(make_mp3(10, 32, 32000, mono=True) + b"\x00x")
+    assert (d["channels"], d["sample_rate_hz"], d["duration_ms"]) == (1, 32000, 360)
+
+    # mp4: mvhd v0 and v1, declared box sizes, trailing junk ignored
+    d = decode_media_headers(make_mp4(600, 7200) + b"padpadpad")
+    assert (d["fmt"], d["duration_ms"]) == ("mp4", 12000)
+    d = decode_media_headers(make_mp4(90000, 123456789, version=1))
+    assert d["duration_ms"] == 123456789 * 1000 // 90000
+
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
@@ -250,6 +268,18 @@ def test_media_dims_decoding(spark):
         decode_media_headers(b"\x89PNG\r\n\x1a\x00 not a real png")
     with _pytest.raises(ValueError):
         decode_media_headers(b"plain text")
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"ID3\x04\x00\x00")  # truncated ID3v2 tag
+    with _pytest.raises(ValueError):
+        decode_media_headers(b"ID3\x04\x00\x00\x00\x00\x00\x00no sync here")
+    with _pytest.raises(ValueError):
+        # mp4 with a moov but no mvhd child
+        import struct
+        ftyp = struct.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00"
+        moov = struct.pack(">I", 16) + b"moov" + struct.pack(">I", 8) + b"free"
+        decode_media_headers(ftyp + moov)
+    with _pytest.raises(ValueError):
+        decode_media_headers(make_mp4(0, 100))  # zero timescale
 
     rows = [
         (1, make_wav(8000, 1, 8, 4000)),
