@@ -1538,6 +1538,154 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_as_link_pages(df: DataFrame) -> DataFrame:
+    """Deterministic webgraph corpus for the host_graph/pagerank gates:
+    7 hosts (k = doc_id % 7), per doc —
+
+    * always: absolute cross-link to site (k+1)%7 (case-messy host);
+    * odd k: a SECOND anchor to the same (k+1)%7 target (n_links > n_docs);
+    * even k: protocol-relative link to site (k+3)%7 (unquoted attr);
+    * k % 3 == 0: https link with userinfo + default :443 to site (k+2)%7;
+    * always: relative self-link and a mailto: (dropped by resolution).
+
+    The oracle reconstructs the same edge instances from doc_id arithmetic."""
+    k = F.col("doc_id") % 7
+    g = F.col("doc_id").cast("string")
+
+    def site(expr, pre="site", post=".example.com"):
+        return F.concat(F.lit(pre), expr.cast("string"), F.lit(post))
+
+    l1 = F.concat(
+        F.lit('<a href="http://'),
+        site((k + 1) % 7, pre="Site", post=".Example.com"),
+        F.lit('/x/'), g, F.lit('">next '), g, F.lit("</a>"),
+    )
+    l2 = F.when(
+        k % 2 == 1,
+        F.concat(
+            F.lit('<a href="http://'), site((k + 1) % 7), F.lit('/x2">again</a>')
+        ),
+    ).otherwise("")
+    l3 = F.when(
+        k % 2 == 0,
+        F.concat(F.lit("<a href=//"), site((k + 3) % 7), F.lit("/y>proto</a>")),
+    ).otherwise("")
+    l4 = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit('<a href="https://u:p@'), site((k + 2) % 7), F.lit(':443/z">sec</a>')
+        ),
+    ).otherwise("")
+    l5 = F.concat(F.lit('<a href="/local/'), g, F.lit('">here</a>'))
+    l6 = F.lit('<a href="mailto:x@example.com">mail</a>')
+    html = F.concat(
+        F.lit("<html><body><nav>"), l1, l2, l3, l4, l5, l6, F.lit("</nav></body></html>")
+    )
+    return df.select(
+        "doc_id",
+        F.concat(F.lit("http://"), site(k, pre="Site", post=".Example.com"),
+                 F.lit("/p/"), g).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempeh_spark.links import extract_links
+    from tempeh_spark.webgraph import host_edges
+
+    pages = _docs_as_link_pages(_docs(spark, sf_dir))
+    links = extract_links(pages).join(pages.select("doc_id", "url"), "doc_id")
+    return host_edges(links)
+
+
+_LINK_RAW_SQL = """
+  SELECT doc_id, doc_id % 7 AS s, (doc_id % 7 + 1) % 7 AS t FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 7, (doc_id % 7 + 1) % 7 FROM documents WHERE doc_id % 7 % 2 = 1
+  UNION ALL
+  SELECT doc_id, doc_id % 7, (doc_id % 7 + 3) % 7 FROM documents WHERE doc_id % 7 % 2 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % 7, (doc_id % 7 + 2) % 7 FROM documents WHERE doc_id % 7 % 3 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % 7, doc_id % 7 FROM documents
+"""
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph edges: extract_links over deterministic
+    link-bearing pages -> href->host resolution (absolute, protocol-
+    relative, relative-to-source, userinfo/default-port canonicalization,
+    mailto dropped) -> one (src_host, dst_host) hash agg with link-instance
+    and distinct-source-doc counts. Oracle reconstructs the identical edge
+    instances from doc_id arithmetic."""
+    return _link_edges(spark, sf_dir).select(
+        "src_host",
+        "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _oracle_host_graph() -> str:
+    return f"""
+WITH raw AS ({_LINK_RAW_SQL})
+SELECT concat('site', s, '.example.com') AS src_host,
+       concat('site', t, '.example.com') AS dst_host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM raw GROUP BY 1, 2
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (3) PageRank over the host graph in EXACT
+    scaled-integer arithmetic (webgraph.pagerank_units): ranks are BIGINT
+    1e-12 units, every step integer div/multiply — order-independent, so
+    the DuckDB twin (the same recurrence unrolled as 3 CTEs) matches
+    bit-for-bit. Self-loops excluded, dangling mass not redistributed."""
+    from tempeh_spark.webgraph import pagerank_units
+
+    return pagerank_units(_link_edges(spark, sf_dir), n_iter=3).select(
+        "host", F.col("rank_units").cast("long").alias("rank_units")
+    )
+
+
+def _oracle_pagerank(n_iter: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
+    head = f"""
+WITH raw AS ({_LINK_RAW_SQL}),
+pairs AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+hosts AS (SELECT s AS h FROM pairs UNION SELECT t FROM pairs),
+consts AS (
+  SELECT ({scale} // (SELECT count(*) FROM hosts))::BIGINT AS r0,
+         (({100 - damping_pct} * ({scale} // (SELECT count(*) FROM hosts))) // 100)::BIGINT AS base
+),
+outdeg AS (SELECT s, count(*)::BIGINT AS o FROM pairs GROUP BY 1),
+it0 AS (SELECT h, (SELECT r0 FROM consts) AS r FROM hosts)"""
+    body = ""
+    prev = "it0"
+    for i in range(1, n_iter + 1):
+        body += f""",
+it{i} AS (
+  SELECT h.h AS h,
+         ((SELECT base FROM consts)
+          + ({damping_pct} * coalesce(inf.su, 0)) // 100)::BIGINT AS r
+  FROM hosts h
+  LEFT JOIN (
+    SELECT p.t AS h, sum(r.r // o.o)::BIGINT AS su
+    FROM pairs p JOIN {prev} r ON r.h = p.s JOIN outdeg o ON o.s = p.s
+    GROUP BY p.t
+  ) inf ON inf.h = h.h
+)"""
+        prev = f"it{i}"
+    return (
+        head
+        + body
+        + f"""
+SELECT concat('site', h, '.example.com') AS host, r AS rank_units FROM {prev}
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_text": q_parse_text,
@@ -1567,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "extract_links": q_extract_links,
+        "host_graph": q_host_graph,
+        "pagerank": q_pagerank,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
         "bottomk_sketch": q_bottomk_sketch,
@@ -2313,6 +2463,8 @@ FROM documents GROUP BY 1
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
         "url_dedup": _oracle_url_dedup(),
+        "host_graph": _oracle_host_graph(),
+        "pagerank": _oracle_pagerank(),
         "extract_links": """
 WITH d AS (
   SELECT doc_id::BIGINT AS doc_id, (doc_id % 100)::VARCHAR AS g, doc_id % 3 AS w

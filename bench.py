@@ -68,6 +68,8 @@ SUITE = (
     "text_analysis",
     "warc_roundtrip",
     "extract_links",
+    "host_graph",
+    "pagerank",
     "url_dedup",
     "line_dedup",
     "gopher_quality",

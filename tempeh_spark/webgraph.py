@@ -1,0 +1,182 @@
+"""Webgraph aggregation: the consumer of ``extract_links`` (links.py).
+
+A crawl corpus is a graph corpus: host-level edges feed quality priors
+(PageRank-style), seed discovery, and per-host crawl policy. This module
+turns the per-anchor rows into that graph with pure DataFrame ops:
+
+* ``target_host`` / ``url_host`` — codegen columns resolving an href (or a
+  page url) to a canonical host: absolute ``scheme://host`` and
+  protocol-relative ``//host`` take their own authority (lowercased,
+  userinfo stripped, default :80/:443 dropped); path/query/fragment
+  relative hrefs resolve to the SOURCE host; non-http schemes
+  (``mailto:``, ``javascript:``, ``data:``, ``tel:``) resolve to NULL and
+  drop out of the graph.
+* ``host_edges`` — one hash agg over (src_host, dst_host): link-instance
+  count + distinct-source-document count per edge. At 10^12 documents this
+  is the map-side-combinable shuffle on the edge key; host cardinality is
+  millions, not trillions, so everything downstream of this agg is small.
+* ``host_degrees`` — out/in degree + link volume per host (two aggs over
+  the already-small edge list, full-outer-joined).
+* ``pagerank_units`` — fixed-iteration PageRank in EXACT scaled-integer
+  arithmetic: ranks are BIGINT units of 1/SCALE, every step is integer
+  division (``div``) and integer multiply — no float summation order, no
+  engine rounding divergence, bit-identical across engines/partitionings
+  (the same discipline as kmeans_update / _stable_avg). Self-loops are
+  excluded; dangling-node mass is deliberately NOT redistributed (the
+  "sink loss" variant) — both choices are part of the twinned contract.
+
+Scale shape of the iteration: ranks live in a per-host DataFrame (small);
+each round is one equi-join ranks->edges on src plus one hash agg on dst,
+then a left join back to the host list. The corpus-sized tables are never
+touched after ``host_edges``. Reference n/a (the reference is an HTML
+parser; the webgraph is beyond-reference pipeline surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PROTO_REL_RE = r"^//([^/?#]+)"
+_NON_HTTP_RE = r"^(mailto|javascript|data|tel):"
+
+
+def _canon_host(authority: Column) -> Column:
+    """authority -> canonical host: lowercase, userinfo off, default
+    ports off (non-default ports are kept — a distinct origin)."""
+    h = F.lower(authority)
+    h = F.regexp_replace(h, r"^[^@]*@", "")
+    return F.regexp_replace(h, r":(80|443)$", "")
+
+
+def url_host(url) -> Column:
+    """Canonical host of an absolute url ('' if the url has no scheme)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return _canon_host(F.regexp_extract(u, _AUTHORITY_RE, 1))
+
+
+def target_host(href, base_host) -> Column:
+    """Canonical host an href points at, given the source page's host
+    (see module docstring for the resolution rules)."""
+    h = F.col(href) if isinstance(href, str) else href
+    b = F.col(base_host) if isinstance(base_host, str) else base_host
+    absolute = F.regexp_extract(h, _AUTHORITY_RE, 1)
+    proto_rel = F.regexp_extract(h, _PROTO_REL_RE, 1)
+    return (
+        F.when(h.isNull() | h.rlike(_NON_HTTP_RE), F.lit(None))
+        .when(absolute != "", _canon_host(absolute))
+        .when(proto_rel != "", _canon_host(proto_rel))
+        .otherwise(b)
+    )
+
+
+def host_edges(
+    links: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_docs) from per-anchor rows that
+    carry the source page url. Non-resolvable hrefs (non-http schemes,
+    error rows with NULL href) are dropped; self-edges are KEPT here
+    (internal-link volume is a real per-host signal) — pagerank_units
+    excludes them itself."""
+    src = url_host(url_col)
+    edges = links.where(F.col(href_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        src.alias("src_host"),
+        target_host(href_col, src).alias("dst_host"),
+    )
+    return (
+        edges.where(F.col("dst_host").isNotNull() & (F.col("src_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree/volume summary over the (already small) edge list:
+    (host, out_degree, in_degree, n_out_links, n_in_links); self-edges
+    count toward both sides."""
+    out = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("n_links").alias("n_out_links"),
+    )
+    inn = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("n_links").alias("n_in_links"),
+    )
+    return (
+        out.join(inn, "host", "full_outer")
+        .na.fill(0, ["out_degree", "in_degree", "n_out_links", "n_in_links"])
+    )
+
+
+def pagerank_units(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the DISTINCT-pair host graph, exact
+    integer arithmetic throughout (see module docstring). Returns
+    (host, rank_units) with rank in 1/``scale`` units.
+
+    Recurrence (all BIGINT, ``div`` = integer division):
+
+        r0(v)     = scale div N
+        base      = ((100 - damping_pct) * (scale div N)) div 100
+        r_{t+1}(v) = base + (damping_pct * SUM_{u->v} (r_t(u) div out(u))) div 100
+
+    where out(u) counts u's distinct non-self successors. Hosts without
+    in-edges hold ``base``; dangling mass is not redistributed. Every op
+    is order-independent (integer SUM) so the result is bit-stable across
+    engines and partitionings — the property the DuckDB twin relies on."""
+    pairs = (
+        edges.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    hosts = (
+        pairs.select(F.col("src_host").alias("host"))
+        .union(pairs.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = hosts.count()
+    if n == 0:
+        return hosts.select("host", F.lit(0).cast("long").alias("rank_units"))
+    r0 = scale // n
+    base = (100 - damping_pct) * r0 // 100
+    outdeg = pairs.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out")
+    )
+    ranks = hosts.select("host", F.lit(r0).cast("long").alias("rank_units"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(outdeg, "host")
+            .select(
+                F.col("host").alias("src_host"),
+                F.expr("rank_units div out").alias("share"),
+            )
+            .join(pairs, "src_host")
+            .groupBy(F.col("dst_host").alias("host"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+            ).cast("long").alias("rank_units"),
+        )
+        # truncate lineage each round: the plan would otherwise double per
+        # iteration (same discipline as dedup.duplicate_components)
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    hosts.unpersist()
+    return ranks

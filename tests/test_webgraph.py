@@ -1,0 +1,135 @@
+"""Webgraph aggregation (webgraph.py): href->host resolution, edge/degree
+aggregation, exact-integer PageRank invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tempeh_spark.webgraph import (
+    host_degrees,
+    host_edges,
+    pagerank_units,
+    target_host,
+    url_host,
+)
+
+RESOLVE_CASES = [
+    # (href, base_host, expected)
+    ("http://Other.COM/x", "base.com", "other.com"),
+    ("https://u:p@Host.com:443/z", "base.com", "host.com"),
+    ("http://host.com:80/p", "base.com", "host.com"),
+    ("http://host.com:8080/p", "base.com", "host.com:8080"),  # non-default kept
+    ("//proto.rel/x", "base.com", "proto.rel"),
+    ("/path/only", "base.com", "base.com"),
+    ("relative.html", "base.com", "base.com"),
+    ("#frag", "base.com", "base.com"),
+    ("?q=1", "base.com", "base.com"),
+    ("", "base.com", "base.com"),  # bare boolean href attr
+    ("mailto:a@b.com", "base.com", None),
+    ("javascript:void(0)", "base.com", None),
+    ("tel:+123", "base.com", None),
+    ("data:text/plain,x", "base.com", None),
+]
+
+
+def test_target_host_resolution_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, h, b) for i, (h, b, _) in enumerate(RESOLVE_CASES)],
+        "i long, href string, base string",
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", target_host("href", "base").alias("t")).collect()
+    }
+    for i, (href, base, want) in enumerate(RESOLVE_CASES):
+        assert got[i] == want, f"{href!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_url_host_and_edges_and_degrees(spark):
+    links = spark.createDataFrame(
+        [
+            (1, "http://A.com/p", "http://b.com/x"),
+            (1, "http://A.com/p", "http://b.com/y"),  # same edge, same doc
+            (2, "http://a.com/q", "http://b.com/z"),  # same edge, new doc
+            (2, "http://a.com/q", "/self"),  # self edge kept in host_edges
+            (3, "http://c.com/r", "mailto:x@y"),  # dropped
+            (3, "http://c.com/r", None),  # error row dropped
+        ],
+        "doc_id long, url string, href string",
+    )
+    edges = {(r.src_host, r.dst_host): r for r in host_edges(links).collect()}
+    assert set(edges) == {("a.com", "b.com"), ("a.com", "a.com")}
+    assert edges[("a.com", "b.com")].n_links == 3
+    assert edges[("a.com", "b.com")].n_docs == 2
+    assert edges[("a.com", "a.com")].n_links == 1
+
+    deg = {r.host: r for r in host_degrees(host_edges(links)).collect()}
+    assert deg["a.com"].out_degree == 2 and deg["a.com"].n_out_links == 4
+    assert deg["b.com"].out_degree == 0 and deg["b.com"].in_degree == 1
+    assert deg["b.com"].n_in_links == 3
+
+
+def _star_edges(spark):
+    # hub -> {s1, s2, s3}; every spoke -> hub; spoke self-loops must be
+    # ignored by pagerank
+    rows = [
+        ("hub", "s1", 1, 1), ("hub", "s2", 1, 1), ("hub", "s3", 1, 1),
+        ("s1", "hub", 5, 3), ("s2", "hub", 1, 1), ("s3", "hub", 1, 1),
+        ("s1", "s1", 9, 9),
+    ]
+    return spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long, n_docs long"
+    )
+
+
+def test_pagerank_exact_integer_and_deterministic(spark):
+    edges = _star_edges(spark)
+    r1 = {r.host: r.rank_units for r in pagerank_units(edges, n_iter=3).collect()}
+    # closed-form check, mirroring the documented recurrence by hand
+    scale, n = 10**12, 4
+    r0 = scale // n
+    base = 15 * r0 // 100
+    ranks = {h: r0 for h in ("hub", "s1", "s2", "s3")}
+    pairs = [("hub", "s1"), ("hub", "s2"), ("hub", "s3"),
+             ("s1", "hub"), ("s2", "hub"), ("s3", "hub")]
+    out = {"hub": 3, "s1": 1, "s2": 1, "s3": 1}
+    for _ in range(3):
+        inflow = {h: 0 for h in ranks}
+        for s, t in pairs:
+            inflow[t] += ranks[s] // out[s]
+        ranks = {h: base + 85 * inflow[h] // 100 for h in ranks}
+    assert r1 == ranks
+    # weights/self-loops must not have influenced the result
+    assert r1["s1"] == r1["s2"] == r1["s3"]
+    assert r1["hub"] > r1["s1"]
+    # bit-stable across reruns and partitionings
+    r2 = {
+        r.host: r.rank_units
+        for r in pagerank_units(edges.repartition(7), n_iter=3).collect()
+    }
+    assert r1 == r2
+
+
+def test_pagerank_dangling_and_no_inlinks(spark):
+    # a -> b, b dangling (no outlinks): b holds inflow, a holds base only
+    edges = spark.createDataFrame(
+        [("a", "b", 1, 1)], "src_host string, dst_host string, n_links long, n_docs long"
+    )
+    got = {r.host: r.rank_units for r in pagerank_units(edges, n_iter=2).collect()}
+    scale, n = 10**12, 2
+    r0, base = scale // n, 15 * (scale // n) // 100
+    r_a1 = base
+    r_b1 = base + 85 * (r0 // 1) // 100
+    assert got["a"] == base  # iteration 2: still base (no in-edges)
+    assert got["b"] == base + 85 * (r_a1 // 1) // 100
+    assert r_b1 > got["b"]  # sink loss: total mass decays, deliberately
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    edges = _star_edges(spark)
+    plan = (
+        pagerank_units(edges, n_iter=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
