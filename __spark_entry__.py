@@ -1273,6 +1273,8 @@ _DIM_VARIANTS = [
     # mp4: (timescale, duration, mvhd version); duration_ms = d * 1000 // ts
     ("mp4", (600, 7200, 0), "mp4", None, None, None, None, 12000, None),
     ("mp4", (90000, 123456789, 1), "mp4", None, None, None, None, 1371742, None),
+    # mp4 with a video trak/tkhd: (timescale, duration, width, height)
+    ("mp4v", (1000, 95500, 1280, 720), "mp4", 1280, 720, None, None, 95500, None),
     ("jpeg", (), None, None, None, None, None, None, _JPEG_ERR),
     ("junk", (), None, None, None, None, None, None, "unsupported format: unknown"),
 ]
@@ -1295,6 +1297,9 @@ def _dim_header(kind: str, args: tuple) -> bytes:
     if kind == "mp4":
         ts, dur, ver = args
         return make_mp4(ts, dur, version=ver)
+    if kind == "mp4v":
+        ts, dur, w, h = args
+        return make_mp4(ts, dur, track_dims=(w, h))
     if kind == "jpeg":
         return b"\xff\xd8\xff\xe0\x00\x10JFIF"
     return b"JUNK0000"  # no magic matches; bytes 4:8 != 'ftyp'
@@ -1637,6 +1642,48 @@ FROM raw GROUP BY 1, 2
 """
 
 
+def q_host_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor-text terms per TARGET host (anchor text describes the
+    page it points at — retrieval-training query/doc pairs). Oracle
+    reconstructs every (dst_host, anchor) instance from the generative
+    spec and applies the identical tokenize/count/rank pipeline in SQL."""
+    from tempeh_spark.links import extract_links
+    from tempeh_spark.webgraph import anchor_stats
+
+    pages = _docs_as_link_pages(_docs(spark, sf_dir))
+    links = extract_links(pages).join(pages.select("doc_id", "url"), "doc_id")
+    return anchor_stats(links, k=3).select(
+        "dst_host",
+        "term",
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _oracle_host_anchors() -> str:
+    return r"""
+WITH raw AS (
+  SELECT (doc_id % 7 + 1) % 7 AS t, concat('next ', doc_id::VARCHAR) AS anchor FROM documents
+  UNION ALL SELECT (doc_id % 7 + 1) % 7, 'again' FROM documents WHERE doc_id % 7 % 2 = 1
+  UNION ALL SELECT (doc_id % 7 + 3) % 7, 'proto' FROM documents WHERE doc_id % 7 % 2 = 0
+  UNION ALL SELECT (doc_id % 7 + 2) % 7, 'sec' FROM documents WHERE doc_id % 7 % 3 = 0
+  UNION ALL SELECT doc_id % 7, 'here' FROM documents
+),
+terms AS (
+  SELECT t, unnest(list_filter(string_split_regex(lower(anchor), '[ \t\n\f\r]+'), x -> x <> '')) AS term
+  FROM raw
+),
+counts AS (SELECT t, term, count(*)::BIGINT AS n FROM terms GROUP BY 1, 2),
+ranked AS (
+  SELECT t, term, n,
+         row_number() OVER (PARTITION BY t ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT concat('site', t, '.example.com') AS dst_host, term, n, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration (3) PageRank over the host graph in EXACT
     scaled-integer arithmetic (webgraph.pagerank_units): ranks are BIGINT
@@ -1716,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "extract_links": q_extract_links,
         "host_graph": q_host_graph,
+        "host_anchors": q_host_anchors,
         "pagerank": q_pagerank,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
@@ -2464,6 +2512,7 @@ FROM documents GROUP BY 1
         "hash_sample": _oracle_hash_sample(),
         "url_dedup": _oracle_url_dedup(),
         "host_graph": _oracle_host_graph(),
+        "host_anchors": _oracle_host_anchors(),
         "pagerank": _oracle_pagerank(),
         "extract_links": """
 WITH d AS (

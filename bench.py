@@ -69,6 +69,7 @@ SUITE = (
     "warc_roundtrip",
     "extract_links",
     "host_graph",
+    "host_anchors",
     "pagerank",
     "url_dedup",
     "line_dedup",

@@ -169,59 +169,82 @@ def decode_mp3_headers(data: bytes) -> dict:
             "sample_rate_hz": rate, "duration_ms": total_samples * 1000 // rate}
 
 
-def decode_mp4_mvhd(data: bytes) -> dict:
-    """ISO-BMFF (mp4/mov) movie-header decode: top-level box walk to
-    ``moov``, then its children to ``mvhd``; timescale/duration at the
-    version-dependent fixed offsets (v0: u32s after 4+8 bytes; v1: u64
-    duration after u64 times). Box sizes are declared (size==1 -> 64-bit
-    largesize; size==0 -> to end); trailing junk after a closed box walk is
-    never read."""
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each ISO-BMFF box in
+    [start, end): declared sizes only (size==1 -> 64-bit largesize,
+    size==0 -> to end); stops at the first malformed box."""
     import struct
 
-    def walk(start: int, end: int, fourcc: bytes):
-        off = start
-        while off + 8 <= end:
-            size = struct.unpack_from(">I", data, off)[0]
-            name = data[off + 4 : off + 8]
-            body = off + 8
-            if size == 1:
-                if off + 16 > end:
-                    break
-                size = struct.unpack_from(">Q", data, off + 8)[0]
-                body = off + 16
-            elif size == 0:
-                size = end - off
-            if size < 8 or off + size > end:
-                break
-            if name == fourcc:
-                return body, off + size
-            off += size
-        return None
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", data, off)[0]
+        name = data[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = struct.unpack_from(">Q", data, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield name, body, off + size
+        off += size
 
-    moov = walk(0, len(data), b"moov")
+
+def decode_mp4_mvhd(data: bytes) -> dict:
+    """ISO-BMFF (mp4/mov) decode from declared-size box walks only:
+
+    * ``moov/mvhd`` — timescale + duration (v0 u32s / v1 u64 duration) ->
+      ``duration_ms``;
+    * ``moov/trak/tkhd`` — the first track with nonzero 16.16 fixed-point
+      width/height (the video track) -> ``width``/``height``; audio-only
+      files keep them None.
+
+    Trailing junk after a closed box walk is never read."""
+    import struct
+
+    moov = next((b for b in _mp4_boxes(data, 0, len(data)) if b[0] == b"moov"), None)
     if moov is None:
         raise ValueError("mp4: no moov box")
-    mvhd = walk(moov[0], moov[1], b"mvhd")
+    mvhd = next(
+        (b for b in _mp4_boxes(data, moov[1], moov[2]) if b[0] == b"mvhd"), None
+    )
     if mvhd is None:
         raise ValueError("mp4: no mvhd box in moov")
-    import struct as _s
-
-    body = mvhd[0]
+    body = mvhd[1]
     version = data[body]
     if version == 0:
-        if body + 20 > mvhd[1]:
+        if body + 20 > mvhd[2]:
             raise ValueError("mp4: truncated mvhd v0")
-        timescale, duration = _s.unpack_from(">II", data, body + 12)
+        timescale, duration = struct.unpack_from(">II", data, body + 12)
     elif version == 1:
-        if body + 32 > mvhd[1]:
+        if body + 32 > mvhd[2]:
             raise ValueError("mp4: truncated mvhd v1")
-        timescale = _s.unpack_from(">I", data, body + 20)[0]
-        duration = _s.unpack_from(">Q", data, body + 24)[0]
+        timescale = struct.unpack_from(">I", data, body + 20)[0]
+        duration = struct.unpack_from(">Q", data, body + 24)[0]
     else:
         raise ValueError(f"mp4: unknown mvhd version {version}")
     if not timescale:
         raise ValueError("mp4: zero mvhd timescale")
-    return {"fmt": "mp4", "width": None, "height": None, "channels": None,
+    width = height = None
+    for name, tb, te in _mp4_boxes(data, moov[1], moov[2]):
+        if name != b"trak":
+            continue
+        tkhd = next((b for b in _mp4_boxes(data, tb, te) if b[0] == b"tkhd"), None)
+        if tkhd is None:
+            continue
+        # tkhd layout: width/height are 16.16 fixed u32s after the matrix;
+        # v0 offsets 76/80 from the version byte, v1 offsets 88/92
+        woff = tkhd[1] + (88 if data[tkhd[1]] == 1 else 76)
+        if woff + 8 > tkhd[2]:
+            continue
+        w, h = struct.unpack_from(">II", data, woff)
+        if w and h:
+            width, height = w >> 16, h >> 16
+            break
+    return {"fmt": "mp4", "width": width, "height": height, "channels": None,
             "sample_rate_hz": None, "duration_ms": duration * 1000 // timescale}
 
 
@@ -390,9 +413,16 @@ def make_mp3(
     return out + frame * n_frames
 
 
-def make_mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+def make_mp4(
+    timescale: int,
+    duration: int,
+    version: int = 0,
+    track_dims: tuple[int, int] | None = None,
+) -> bytes:
     """A minimal VALID ISO-BMFF file: ftyp box + moov box whose first child
-    is an mvhd (v0 or v1) carrying ``timescale``/``duration``."""
+    is an mvhd (v0 or v1) carrying ``timescale``/``duration``; with
+    ``track_dims=(w, h)`` a trak/tkhd child carries the 16.16 fixed-point
+    video dimensions."""
     import struct
 
     ftyp = b"ftypisom" + struct.pack(">I", 0x200) + b"isomiso2"
@@ -406,7 +436,15 @@ def make_mp4(timescale: int, duration: int, version: int = 0) -> bytes:
             ">I", timescale
         ) + struct.pack(">Q", duration) + b"\x00" * 80
     mvhd = struct.pack(">I", len(mvhd_body) + 8) + b"mvhd" + mvhd_body
-    moov = struct.pack(">I", len(mvhd) + 8) + b"moov" + mvhd
+    kids = mvhd
+    if track_dims is not None:
+        w, h = track_dims
+        tkhd_body = b"\x00\x00\x00\x07" + b"\x00" * 72 + struct.pack(
+            ">II", w << 16, h << 16
+        )
+        tkhd = struct.pack(">I", len(tkhd_body) + 8) + b"tkhd" + tkhd_body
+        kids += struct.pack(">I", len(tkhd) + 8) + b"trak" + tkhd
+    moov = struct.pack(">I", len(kids) + 8) + b"moov" + kids
     return ftyp + moov
 
 

@@ -116,6 +116,50 @@ def host_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def anchor_stats(
+    links: DataFrame,
+    k: int = 3,
+    url_col: str = "url",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Top-k anchor-text terms per TARGET host: the classic webgraph
+    training-data product (anchor text describes the page it points at —
+    query-document pairs for retrieval training). Returns
+    (dst_host, term, n, rank) with rank <= k.
+
+    Terms are lowercased whitespace tokens of the anchor text (the
+    engine-common class [ \\t\\n\\f\\r], see textops.WS). One explode + one
+    (dst_host, term) hash agg (map-side combinable) + one top-k window
+    partitioned by host — the same shapes as the dedup family, nothing
+    driver-side. Ties rank deterministically (count DESC, term ASC)."""
+    from pyspark.sql.window import Window
+
+    from tempeh_spark.textops import WS
+
+    src = url_host(url_col)
+    terms = (
+        links.where(F.col(href_col).isNotNull())
+        .select(
+            target_host(href_col, src).alias("dst_host"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(anchor_col)), rf"[{WS}]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .where(F.col("dst_host").isNotNull())
+    )
+    counts = terms.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst_host", "term", "n", "rank")
+    )
+
+
 def pagerank_units(
     edges: DataFrame,
     n_iter: int = 3,
@@ -136,10 +180,14 @@ def pagerank_units(
     in-edges hold ``base``; dangling mass is not redistributed. Every op
     is order-independent (integer SUM) so the result is bit-stable across
     engines and partitionings — the property the DuckDB twin relies on."""
+    # pairs is re-read every iteration (contrib join) — persist it, or each
+    # round recomputes the ENTIRE upstream (for crawl input: the HTML parse
+    # itself; measured 3x bench cost before this cache)
     pairs = (
         edges.select("src_host", "dst_host")
         .where(F.col("src_host") != F.col("dst_host"))
         .distinct()
+        .persist()
     )
     hosts = (
         pairs.select(F.col("src_host").alias("host"))
@@ -152,31 +200,33 @@ def pagerank_units(
         return hosts.select("host", F.lit(0).cast("long").alias("rank_units"))
     r0 = scale // n
     base = (100 - damping_pct) * r0 // 100
-    outdeg = pairs.groupBy(F.col("src_host").alias("host")).agg(
-        F.count(F.lit(1)).alias("out")
-    )
+    # outdeg fused onto the edge list ONCE: each iteration is then a single
+    # equi-join + hash agg + left join, and lineage is only checkpointed
+    # every 5 rounds (an eager per-round checkpoint was pure fixed overhead
+    # — ~1-2 s/round of job scheduling on a small graph; linear lineage
+    # growth over <=5 rounds is free)
+    outdeg = pairs.groupBy("src_host").agg(F.count(F.lit(1)).alias("out"))
+    pairs_out = pairs.join(outdeg, "src_host").persist()
     ranks = hosts.select("host", F.lit(r0).cast("long").alias("rank_units"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
-            ranks.join(outdeg, "host")
-            .select(
-                F.col("host").alias("src_host"),
-                F.expr("rank_units div out").alias("share"),
-            )
-            .join(pairs, "src_host")
+            ranks.select(F.col("host").alias("src_host"), "rank_units")
+            .join(pairs_out, "src_host")
             .groupBy(F.col("dst_host").alias("host"))
-            .agg(F.sum("share").alias("inflow"))
+            .agg(F.sum(F.expr("rank_units div out")).alias("inflow"))
         )
-        new_ranks = hosts.join(contrib, "host", "left").select(
+        ranks = hosts.join(contrib, "host", "left").select(
             "host",
             (
                 F.lit(base)
                 + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
             ).cast("long").alias("rank_units"),
         )
-        # truncate lineage each round: the plan would otherwise double per
-        # iteration (same discipline as dedup.duplicate_components)
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-        ranks = new_ranks
+        if (i + 1) % 5 == 0 and (i + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize before releasing the caches the lazy plan depends on
+    ranks = ranks.localCheckpoint(eager=True)
     hosts.unpersist()
+    pairs.unpersist()
+    pairs_out.unpersist()
     return ranks

@@ -255,6 +255,10 @@ def test_media_dims_decoding(spark):
     assert (d["fmt"], d["duration_ms"]) == ("mp4", 12000)
     d = decode_media_headers(make_mp4(90000, 123456789, version=1))
     assert d["duration_ms"] == 123456789 * 1000 // 90000
+    # video track dims from trak/tkhd (16.16 fixed); audio-only stays None
+    d = decode_media_headers(make_mp4(1000, 95500, track_dims=(1280, 720)))
+    assert (d["width"], d["height"], d["duration_ms"]) == (1280, 720, 95500)
+    assert decode_media_headers(make_mp4(600, 7200))["width"] is None
 
     import pytest as _pytest
 
@@ -295,6 +299,56 @@ def test_media_dims_decoding(spark):
     assert out[3]["error"] is not None and "codec" in out[3]["error"]
     assert out[4]["error"] == "null media"
     assert out[5]["error"] == "unsupported format: unknown"
+
+
+def test_media_decoder_never_crashes_on_arbitrary_bytes():
+    """Robustness contract: any byte string either decodes or raises the
+    typed per-row errors (ValueError / NotImplementedError) — never an
+    IndexError/struct.error/KeyError that would poison a whole Arrow batch.
+    Seeds include truncations of every valid builder output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tempeh_spark.multimodal import (
+        decode_media_headers,
+        make_gif,
+        make_mp3,
+        make_mp4,
+        make_png,
+        make_wav,
+    )
+
+    valid = [
+        make_wav(44100, 2, 16, 1764),
+        make_gif(320, 200),
+        make_png(640, 480),
+        make_mp3(3, 128, 44100, id3_pad=5),
+        make_mp4(600, 7200, track_dims=(640, 360)),
+        make_mp4(90000, 7, version=1),
+    ]
+
+    def probe(data: bytes):
+        try:
+            d = decode_media_headers(data)
+            assert d["fmt"] in ("wav", "png", "gif", "mp3", "mp4")
+        except (ValueError, NotImplementedError):
+            pass
+
+    for v in valid:
+        for cut in (0, 1, 4, 9, 11, len(v) // 2, len(v) - 1):
+            probe(v[:cut])
+            probe(v[:cut] + b"\xff\xe3\x00WARC/1.0")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def fuzz(data):
+        probe(data)
+        # grafting magic prefixes onto junk probes each decoder's walker
+        for pre in (b"ID3", b"\xff\xfb", b"RIFF", b"\x89PNG\r\n\x1a\n",
+                    b"GIF89a", b"\x00\x00\x00\x10ftypisom"):
+            probe(pre + data)
+
+    fuzz()
 
 
 def test_dedup_decisions_composition(spark):

@@ -69,6 +69,30 @@ def test_url_host_and_edges_and_degrees(spark):
     assert deg["b.com"].n_in_links == 3
 
 
+def test_anchor_stats_topk_terms_per_target(spark):
+    from tempeh_spark.webgraph import anchor_stats
+
+    links = spark.createDataFrame(
+        [
+            (1, "http://a.com/p", "http://b.com/x", "Great Site"),
+            (2, "http://a.com/q", "http://b.com/y", "great\tstuff"),
+            (3, "http://c.com/r", "//b.com/z", "great"),
+            (4, "http://c.com/r", "/self", "internal link"),
+            (5, "http://c.com/r", "mailto:x@y", "dropped"),
+        ],
+        "doc_id long, url string, href string, anchor string",
+    )
+    out = {
+        (r.dst_host, r.rank): (r.term, r.n)
+        for r in anchor_stats(links, k=2).collect()
+    }
+    assert out[("b.com", 1)] == ("great", 3)  # case/tab-normalized, merged
+    assert out[("b.com", 2)] in (("site", 1), ("stuff", 1))  # count tie -> term asc
+    assert out[("b.com", 2)] == ("site", 1)
+    assert out[("c.com", 1)] == ("internal", 1)
+    assert ("mailto", 1) not in [v[0] for v in out.values()]
+
+
 def _star_edges(spark):
     # hub -> {s1, s2, s3}; every spoke -> hub; spoke self-loops must be
     # ignored by pagerank
