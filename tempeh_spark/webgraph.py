@@ -122,6 +122,7 @@ def anchor_stats(
     url_col: str = "url",
     href_col: str = "href",
     anchor_col: str = "anchor",
+    min_count: int = 1,
 ) -> DataFrame:
     """Top-k anchor-text terms per TARGET host: the classic webgraph
     training-data product (anchor text describes the page it points at —
@@ -132,7 +133,15 @@ def anchor_stats(
     engine-common class [ \\t\\n\\f\\r], see textops.WS). One explode + one
     (dst_host, term) hash agg (map-side combinable) + one top-k window
     partitioned by host — the same shapes as the dedup family, nothing
-    driver-side. Ties rank deterministically (count DESC, term ASC)."""
+    driver-side. Ties rank deterministically (count DESC, term ASC).
+
+    Skew note for crawl scale: the count agg is map-side combined (hot
+    hosts cost nothing extra there), but the top-k WINDOW partitions by
+    dst_host, and a mega-host can carry 10^8 distinct anchor terms in one
+    window partition. ``min_count`` pre-filters the counted terms before
+    the window (a term seen once is never a meaningful top-k anchor at
+    crawl scale) — set it >= 2 on real corpora to keep every window
+    partition bounded by the head of the term distribution."""
     from pyspark.sql.window import Window
 
     from tempeh_spark.textops import WS
@@ -152,6 +161,8 @@ def anchor_stats(
         .where(F.col("dst_host").isNotNull())
     )
     counts = terms.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
     w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
