@@ -1400,6 +1400,78 @@ def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-to-training-data composition, value-gated: raw HTML
+    pages -> the REAL Arrow parse kernel -> main-content extraction ->
+    Gopher quality keep -> exact-dedup keeper election on the extracted
+    text -> PII scrub -> per-doc decision row (the columns a 100 TB run
+    publishes). The oracle runs the same quality/dedup/scrub logic on the
+    source text directly — so the gate simultaneously re-proves the
+    byte-identical extraction (any parse drift flips clean_md5) AND the
+    downstream operator chain, as one composed value check."""
+    from tempeh_spark import parse_html
+    from tempeh_spark.corpusops import gopher_quality, pii_scrub
+    from tempeh_spark.textops import fingerprint
+
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    text = parse_html(pages).select(
+        "doc_id", F.col("parsed.main_text").alias("text")
+    )
+    gq = gopher_quality(
+        text,
+        min_words=_GOPHER["min_words"], max_words=_GOPHER["max_words"],
+        min_mean_word_len=_GOPHER["min_mwl"], max_mean_word_len=_GOPHER["max_mwl"],
+        min_alpha_word_frac=_GOPHER["min_alpha"], max_top_word_frac=_GOPHER["max_top"],
+    ).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("keep").alias("keep_quality"),
+    )
+    fp = text.select("doc_id", fingerprint("text").alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    dd = fp.join(keepers, "f").select("doc_id", "keeper")
+    sc = pii_scrub(text).select(
+        "doc_id", F.md5(F.encode("clean_text", "UTF-8")).alias("clean_md5")
+    )
+    return (
+        gq.join(dd, "doc_id")
+        .join(sc, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words",
+            "keep_quality",
+            F.col("keeper").cast("long").alias("keeper"),
+            (F.col("keep_quality") & (F.col("doc_id") == F.col("keeper"))).alias("keep"),
+            "clean_md5",
+        )
+    )
+
+
+def _oracle_training_pipeline() -> str:
+    from tempeh_spark.corpusops import PII_EMAIL_RX, PII_IP_RX, PII_PHONE_RX
+
+    gq = _oracle_gopher_quality()
+    t1 = f"regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g')"
+    t2 = f"regexp_replace(t1, '{PII_IP_RX}', '<IP>', 'g')"
+    t3 = f"regexp_replace(t2, '{PII_PHONE_RX}', '<PHONE>', 'g')"
+    return f"""
+WITH gq AS (SELECT doc_id, n_words, keep AS keep_quality FROM ({gq}) g),
+fp AS (SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS f FROM documents),
+k AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1),
+dd AS (SELECT fp.doc_id AS doc_id, k.keeper AS keeper FROM fp JOIN k USING (f)),
+s1 AS (SELECT doc_id, {t1} AS t1 FROM documents),
+s2 AS (SELECT doc_id, {t2} AS t2 FROM s1),
+s3 AS (SELECT doc_id, {t3} AS t3 FROM s2)
+SELECT gq.doc_id::BIGINT AS doc_id,
+       gq.n_words,
+       gq.keep_quality,
+       dd.keeper::BIGINT AS keeper,
+       (gq.keep_quality AND gq.doc_id = dd.keeper) AS keep,
+       md5(s3.t3) AS clean_md5
+FROM gq JOIN dd ON dd.doc_id = gq.doc_id JOIN s3 ON s3.doc_id = gq.doc_id
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-side dedup: canonicalize messy url spellings (scheme/host case,
     default ports, tracking params, fragments — urlops.py rules) and keep
@@ -1759,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "hash_sample": q_hash_sample,
+        "training_pipeline": q_training_pipeline,
         "url_dedup": q_url_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "extract_links": q_extract_links,
@@ -2510,6 +2583,7 @@ FROM documents GROUP BY 1
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_signals": _oracle_repetition_signals(),
         "hash_sample": _oracle_hash_sample(),
+        "training_pipeline": _oracle_training_pipeline(),
         "url_dedup": _oracle_url_dedup(),
         "host_graph": _oracle_host_graph(),
         "host_anchors": _oracle_host_anchors(),

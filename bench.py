@@ -59,6 +59,7 @@ PARSE_ROWS = int(os.environ.get("SPARK_GRAFT_PARSE_ROWS", str(int(500_000 * _SF)
 
 SUITE = (
     "exact_dedup",
+    "training_pipeline",
     "pdf_extract",
     "minhash_lsh",
     "dedup_decisions",
