@@ -1451,7 +1451,13 @@ def _oracle_training_pipeline() -> str:
     from tempeh_spark.corpusops import PII_EMAIL_RX, PII_IP_RX, PII_PHONE_RX
 
     gq = _oracle_gopher_quality()
-    t1 = f"regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g')"
+    # the Spark side scrubs the EXTRACTED main_text, whose whitespace is
+    # collapsed to the HTML5 ASCII class (extract._collapse_ws) — apply the
+    # identical collapse here. Tokenization (gopher) and the lowercased
+    # fingerprint are collapse-invariant, so those sub-oracles stay on the
+    # raw text.
+    collapsed = "trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+    t1 = f"regexp_replace(ct, '{PII_EMAIL_RX}', '<EMAIL>', 'g')"
     t2 = f"regexp_replace(t1, '{PII_IP_RX}', '<IP>', 'g')"
     t3 = f"regexp_replace(t2, '{PII_PHONE_RX}', '<PHONE>', 'g')"
     return f"""
@@ -1459,7 +1465,7 @@ WITH gq AS (SELECT doc_id, n_words, keep AS keep_quality FROM ({gq}) g),
 fp AS (SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS f FROM documents),
 k AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1),
 dd AS (SELECT fp.doc_id AS doc_id, k.keeper AS keeper FROM fp JOIN k USING (f)),
-s1 AS (SELECT doc_id, {t1} AS t1 FROM documents),
+s1 AS (SELECT doc_id, {t1} AS t1 FROM (SELECT doc_id, {collapsed} AS ct FROM documents) c),
 s2 AS (SELECT doc_id, {t2} AS t2 FROM s1),
 s3 AS (SELECT doc_id, {t3} AS t3 FROM s2)
 SELECT gq.doc_id::BIGINT AS doc_id,

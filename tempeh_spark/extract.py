@@ -22,6 +22,7 @@ node tree and produces every derived output the engine exposes:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 # Tags whose subtree never contributes to main content.
@@ -56,8 +57,18 @@ class Extraction:
     title: str = ""  # first <title> element's text, whitespace-collapsed
 
 
+# HTML5 "ASCII whitespace" (spec §2.3.1) — deliberately NOT Python
+# str.split(): Python's whitespace set includes \x0B plus Unicode spaces
+# and varies with the interpreter's Unicode tables, which both breaks
+# cross-engine oracle parity (RE2/Java classes don't match it) and makes
+# main_text bytes Python-version-dependent. The explicit class matches
+# textops.WS, the engine-common class every twinned regex uses.
+_WS_CHARS = " \t\n\f\r"
+_WS_RUN_RX = re.compile(f"[{_WS_CHARS}]+")
+
+
 def _collapse_ws(s: str) -> str:
-    return " ".join(s.split())
+    return _WS_RUN_RX.sub(" ", s).strip(_WS_CHARS)
 
 
 def extract_all(nodes: list | None) -> Extraction:

@@ -56,6 +56,13 @@ TWINNED = [
     "pii_scrub",  # doc 14's digit runs probe Java-vs-RE2 greedy agreement
     "repetition_signals",
     "hash_sample",
+    # corpus_stats omitted: it reads the real fixture's n_chars column,
+    # which this constructed corpus does not carry
+    "url_dedup",
+    "host_graph",
+    "host_anchors",
+    "pagerank",
+    "training_pipeline",
 ]
 
 
