@@ -359,7 +359,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (12 bands x 3 planes — multi-band probing
     sized for this corpus's wide-angle neighbors: recall@10 vs brute is 0.92
-    at 16% of the brute comparisons). The oracle replicates the md5-derived
+    at ~79% of the brute comparisons, re-measured r4; wide angles force
+    low-selectivity bands, so the candidate cut is modest here by design —
+    BENCH/BASELINE.md §8 shows the near-neighbor regime where the cut is
+    real). The oracle replicates the md5-derived
     hyperplanes as literal DOUBLE lists in SQL: a true twin."""
     from tempeh_spark.similarity import lsh_bucket_topk
 
