@@ -1417,8 +1417,16 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import fingerprint
 
     pages = _docs_as_pages(_docs(spark, sf_dir))
-    text = parse_html(pages).select(
-        "doc_id", F.col("parsed.main_text").alias("text")
+    # The quality/dedup/scrub branches all consume the extracted text; an
+    # unpersisted plan re-ran the Arrow parse SIX times (plan-asserted by
+    # test_training_pipeline_parses_once). persist() here is the gate-scale
+    # stand-in for what production does at 10^12 rows: extraction runs ONCE
+    # and lands as the table's text column (pipeline.py), with every
+    # downstream operator reading the materialized column.
+    text = (
+        parse_html(pages)
+        .select("doc_id", F.col("parsed.main_text").alias("text"))
+        .persist()
     )
     gq = gopher_quality(
         text,

@@ -157,3 +157,15 @@ def test_pagerank_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_pipeline_parses_once(spark):
+    """The end-to-end pipeline's quality/dedup/scrub branches must read the
+    extracted text from ONE materialization (InMemoryTableScan per branch),
+    never re-running the Arrow parse per branch — the gate-scale analogue
+    of production materializing the text column once."""
+    import __spark_entry__ as e
+
+    df = e.queries()["training_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # gq, fp/keeper, scrub branches
