@@ -1417,16 +1417,26 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import fingerprint
 
     pages = _docs_as_pages(_docs(spark, sf_dir))
-    # The quality/dedup/scrub branches all consume the extracted text; an
-    # unpersisted plan re-ran the Arrow parse SIX times (plan-asserted by
-    # test_training_pipeline_parses_once). persist() here is the gate-scale
-    # stand-in for what production does at 10^12 rows: extraction runs ONCE
-    # and lands as the table's text column (pipeline.py), with every
-    # downstream operator reading the materialized column.
+    # Two scale rules applied here (plan-asserted by
+    # test_training_pipeline_parses_once):
+    # * spread the single-file parquet BEFORE the Arrow parse (url-hash
+    #   buckets, the same shape entry() uses) — one partition would run the
+    #   whole parse on one core;
+    # * materialize the extracted text ONCE for the quality/dedup/scrub
+    #   branches — the unmaterialized plan re-ran the parse SIX times.
+    #   lazy localCheckpoint, not persist(): CacheManager entries from
+    #   repeated gate invocations are never evicted, while checkpoint RDD
+    #   blocks are released by the ContextCleaner when the DataFrame goes
+    #   out of scope. Production at 10^12 rows does the same thing one
+    #   level up: extraction lands as the table's text column
+    #   (pipeline.py) and every downstream operator reads that column.
+    buckets = max(8, 2 * spark.sparkContext.defaultParallelism)
     text = (
-        parse_html(pages)
+        parse_html(
+            pages.repartition(buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets)))
+        )
         .select("doc_id", F.col("parsed.main_text").alias("text"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     gq = gopher_quality(
         text,
@@ -1683,13 +1693,26 @@ def _docs_as_link_pages(df: DataFrame) -> DataFrame:
     )
 
 
-def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _link_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-anchor rows (with the source url) for every webgraph
+    gate. The single-file parquet arrives as ONE partition, so the pages
+    are url-hash-repartitioned BEFORE the row-multiplying extract_links
+    walk (CLAUDE.md: _spread before row-multiplying ops) — the same
+    bucketing entry() uses."""
     from tempeh_spark.links import extract_links
-    from tempeh_spark.webgraph import host_edges
 
     pages = _docs_as_link_pages(_docs(spark, sf_dir))
-    links = extract_links(pages).join(pages.select("doc_id", "url"), "doc_id")
-    return host_edges(links)
+    buckets = max(8, 2 * spark.sparkContext.defaultParallelism)
+    spread = pages.repartition(
+        buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets))
+    )
+    return extract_links(spread).join(pages.select("doc_id", "url"), "doc_id")
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempeh_spark.webgraph import host_edges
+
+    return host_edges(_link_rows(spark, sf_dir))
 
 
 _LINK_RAW_SQL = """
@@ -1736,12 +1759,9 @@ def q_host_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     page it points at — retrieval-training query/doc pairs). Oracle
     reconstructs every (dst_host, anchor) instance from the generative
     spec and applies the identical tokenize/count/rank pipeline in SQL."""
-    from tempeh_spark.links import extract_links
     from tempeh_spark.webgraph import anchor_stats
 
-    pages = _docs_as_link_pages(_docs(spark, sf_dir))
-    links = extract_links(pages).join(pages.select("doc_id", "url"), "doc_id")
-    return anchor_stats(links, k=3).select(
+    return anchor_stats(_link_rows(spark, sf_dir), k=3).select(
         "dst_host",
         "term",
         F.col("n").cast("long").alias("n"),

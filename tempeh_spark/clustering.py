@@ -10,7 +10,8 @@ Spark shapes:
   the corpus never shuffles.
 * ``kmeans_fit`` — Lloyd's iterations, MLlib-style: broadcast centroids ->
   map-side assignment -> one hash-agg for per-cell means (posexplode +
-  avg, map-side combinable). All corpus data stays on executors; the
+  exact fixed-point BIGINT sums via ``kmeans_update``, map-side
+  combinable). All corpus data stays on executors; the
   driver sees only the k x dim centroid matrix per round (tiny by
   construction) and the convergence delta. Deterministic: initial
   centroids are the k lowest-id vectors, iteration count fixed, and the

@@ -154,6 +154,9 @@ def decode_mp3_headers(data: bytes) -> dict:
             raise ValueError("mp3: truncated ID3v2 tag")
         sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
         off = 10 + sz
+        if data[5] & 0x10:
+            off += 10  # ID3v2.4 footer flag: 10-byte footer after the tag
+                       # body, excluded from the syncsafe size (spec 3.1)
     first = _mp3_frame(data, off)
     if first is None:
         raise ValueError("mp3: no MPEG audio frame sync after ID3 tag")
@@ -214,6 +217,8 @@ def decode_mp4_mvhd(data: bytes) -> dict:
     if mvhd is None:
         raise ValueError("mp4: no mvhd box in moov")
     body = mvhd[1]
+    if body >= len(data):  # 8-byte box ending exactly at EOF has no body
+        raise ValueError("mp4: empty mvhd box")
     version = data[body]
     if version == 0:
         if body + 20 > mvhd[2]:
@@ -233,7 +238,7 @@ def decode_mp4_mvhd(data: bytes) -> dict:
         if name != b"trak":
             continue
         tkhd = next((b for b in _mp4_boxes(data, tb, te) if b[0] == b"tkhd"), None)
-        if tkhd is None:
+        if tkhd is None or tkhd[1] >= len(data):
             continue
         # tkhd layout: width/height are 16.16 fixed u32s after the matrix;
         # v0 offsets 76/80 from the version byte, v1 offsets 88/92

@@ -6,11 +6,13 @@ turns the per-anchor rows into that graph with pure DataFrame ops:
 
 * ``target_host`` / ``url_host`` — codegen columns resolving an href (or a
   page url) to a canonical host: absolute ``scheme://host`` and
-  protocol-relative ``//host`` take their own authority (lowercased,
-  userinfo stripped, default :80/:443 dropped); path/query/fragment
-  relative hrefs resolve to the SOURCE host; non-http schemes
-  (``mailto:``, ``javascript:``, ``data:``, ``tel:``) resolve to NULL and
-  drop out of the graph.
+  protocol-relative ``//host`` take their own authority (href whitespace
+  trimmed, host lowercased, userinfo stripped, the scheme's own default
+  port dropped — :80 for http, :443 for https; any other scheme/port
+  combination is a distinct origin and keeps its port); path/query/
+  fragment relative hrefs resolve to the SOURCE host; non-http schemes
+  (``mailto:``, ``javascript:``, ``data:``, ``tel:``, any case) resolve
+  to NULL and drop out of the graph.
 * ``host_edges`` — one hash agg over (src_host, dst_host): link-instance
   count + distinct-source-document count per edge. At 10^12 documents this
   is the map-side-combinable shuffle on the edge key; host cardinality is
@@ -37,36 +39,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PROTO_REL_RE = r"^//([^/?#]+)"
-_NON_HTTP_RE = r"^(mailto|javascript|data|tel):"
+# schemes are case-insensitive (RFC 3986 3.1)
+_NON_HTTP_RE = r"(?i)^(mailto|javascript|data|tel):"
 
 
-def _canon_host(authority: Column) -> Column:
-    """authority -> canonical host: lowercase, userinfo off, default
-    ports off (non-default ports are kept — a distinct origin)."""
+def _canon_host(authority: Column, scheme: Column) -> Column:
+    """(authority, lowercased scheme) -> canonical host: lowercase,
+    userinfo off, the scheme's OWN default port off (:80 only for http,
+    :443 only for https — http://h:443 is a distinct origin and keeps its
+    port; unknown/empty scheme keeps all ports)."""
     h = F.lower(authority)
     h = F.regexp_replace(h, r"^[^@]*@", "")
-    return F.regexp_replace(h, r":(80|443)$", "")
+    return F.when(
+        scheme == "http", F.regexp_replace(h, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(h, r":443$", "")
+    ).otherwise(h)
 
 
 def url_host(url) -> Column:
     """Canonical host of an absolute url ('' if the url has no scheme)."""
     u = F.col(url) if isinstance(url, str) else url
-    return _canon_host(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    return _canon_host(
+        F.regexp_extract(u, _AUTHORITY_RE, 1),
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
+    )
 
 
 def target_host(href, base_host) -> Column:
     """Canonical host an href points at, given the source page's host
-    (see module docstring for the resolution rules)."""
-    h = F.col(href) if isinstance(href, str) else href
+    (see module docstring for the resolution rules). Leading/trailing
+    HTML5 ASCII whitespace is stripped first — browsers do the same
+    before resolving, and crawl HTML pads hrefs constantly."""
+    h0 = F.col(href) if isinstance(href, str) else href
+    h = F.regexp_replace(
+        F.regexp_replace(h0, r"^[ \t\n\f\r]+", ""), r"[ \t\n\f\r]+$", ""
+    )
     b = F.col(base_host) if isinstance(base_host, str) else base_host
     absolute = F.regexp_extract(h, _AUTHORITY_RE, 1)
     proto_rel = F.regexp_extract(h, _PROTO_REL_RE, 1)
+    scheme = F.lower(F.regexp_extract(h, _SCHEME_RE, 1))
     return (
-        F.when(h.isNull() | h.rlike(_NON_HTTP_RE), F.lit(None))
-        .when(absolute != "", _canon_host(absolute))
-        .when(proto_rel != "", _canon_host(proto_rel))
+        F.when(h0.isNull() | h.rlike(_NON_HTTP_RE), F.lit(None))
+        .when(absolute != "", _canon_host(absolute, scheme))
+        # protocol-relative inherits the page's scheme, which url_host has
+        # already applied to the BASE host; the target's own default port
+        # can't be resolved without it, so ports are kept here
+        .when(proto_rel != "", _canon_host(proto_rel, F.lit("")))
         .otherwise(b)
     )
 
@@ -208,7 +230,11 @@ def pagerank_units(
     )
     n = hosts.count()
     if n == 0:
-        return hosts.select("host", F.lit(0).cast("long").alias("rank_units"))
+        empty = hosts.select("host", F.lit(0).cast("long").alias("rank_units"))
+        empty = empty.localCheckpoint(eager=True)
+        hosts.unpersist()
+        pairs.unpersist()
+        return empty
     r0 = scale // n
     base = (100 - damping_pct) * r0 // 100
     # outdeg fused onto the edge list ONCE: each iteration is then a single

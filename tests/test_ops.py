@@ -284,6 +284,21 @@ def test_media_dims_decoding(spark):
         decode_media_headers(ftyp + moov)
     with _pytest.raises(ValueError):
         decode_media_headers(make_mp4(0, 100))  # zero timescale
+    # ID3v2.4 footer flag: 10-byte footer after the tag body, excluded
+    # from the syncsafe size — the frame walk must skip it
+    with_footer = make_mp3(4, 128, 44100, id3_pad=6)
+    assert with_footer[5] == 0
+    footered = (with_footer[:5] + b"\x10" + with_footer[6:16]
+                + b"3DI\x04\x00\x10\x00\x00\x00\x06" + with_footer[16:])
+    d = decode_media_headers(footered)
+    assert d["fmt"] == "mp3" and d["duration_ms"] == 4 * 1152 * 1000 // 44100
+    # an 8-byte mvhd box ending exactly at EOF must raise ValueError (typed
+    # per-row error), never IndexError
+    import struct as _struct
+    ftyp = _struct.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00"
+    moov = _struct.pack(">I", 16) + b"moov" + _struct.pack(">I", 8) + b"mvhd"
+    with _pytest.raises(ValueError):
+        decode_media_headers(ftyp + moov)
 
     rows = [
         (1, make_wav(8000, 1, 8, 4000)),

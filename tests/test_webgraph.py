@@ -25,7 +25,20 @@ RESOLVE_CASES = [
     ("#frag", "base.com", "base.com"),
     ("?q=1", "base.com", "base.com"),
     ("", "base.com", "base.com"),  # bare boolean href attr
+    # whitespace-padded hrefs resolve like browsers do: trim first
+    (" http://padded.com/x", "base.com", "padded.com"),
+    ("\nhttps://nl.com/\t", "base.com", "nl.com"),
+    # scheme-aware default ports only: http:443 / https:80 are distinct
+    ("http://host.com:443/p", "base.com", "host.com:443"),
+    ("https://host.com:443/p", "base.com", "host.com"),
+    ("https://host.com:80/p", "base.com", "host.com:80"),
+    # proto-relative keeps ports (target scheme unknowable)
+    ("//proto.rel:80/x", "base.com", "proto.rel:80"),
     ("mailto:a@b.com", "base.com", None),
+    # non-http schemes drop regardless of case (RFC 3986: case-insensitive)
+    ("MAILTO:a@b.com", "base.com", None),
+    ("Javascript:void(0)", "base.com", None),
+    ("  mailto:padded@b.com", "base.com", None),
     ("javascript:void(0)", "base.com", None),
     ("tel:+123", "base.com", None),
     ("data:text/plain,x", "base.com", None),
@@ -168,4 +181,7 @@ def test_training_pipeline_parses_once(spark):
 
     df = e.queries()["training_pipeline"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3  # gq, fp/keeper, scrub branches
+    # every branch reads the checkpointed RDD; the parse stage itself never
+    # appears in the consuming plan
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("ExistingRDD") >= 3  # gq, fp/keeper, scrub branches
