@@ -50,14 +50,21 @@ def segment_dedup(
 
     Segment identity is md5(lower(trim(segment))); counting is by distinct
     document (a segment repeated within one doc is not 'duplicated across
-    the corpus'). Reassembly preserves original segment order."""
+    the corpus'). Reassembly preserves original segment order.
+
+    ``sep`` is a LITERAL separator (it is rejoined literally on
+    reassembly), so the split quotes it with Java's \\Q...\\E — a regex
+    metacharacter separator like '.' used to split on EVERY character.
+    NULL-text docs keep their output row (clean_text NULL, counts 0)
+    rather than vanishing from the corpus."""
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     seg = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "segment"),
+        F.posexplode(F.split(F.col(text_col), quoted)).alias("pos", "segment"),
     ).withColumn("h", F.md5(F.encode(F.lower(F.trim("segment")), "UTF-8")))
     docfreq = seg.groupBy("h").agg(F.count_distinct("id").alias("df"))
     marked = seg.join(docfreq, "h").withColumn("keep", F.col("df") <= max_df)
-    return (
+    agg = (
         marked.groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.coalesce(
@@ -76,6 +83,18 @@ def segment_dedup(
             ).alias("clean_text"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+    # posexplode(split(NULL)) emits no rows — join back so every input doc
+    # has an output row (the documented contract)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "clean_text",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
         )
     )
 
@@ -154,7 +173,10 @@ def per_host_cap(
     host contributes at most ``cap`` documents, chosen deterministically
     (lowest doc ids first, so reruns pick the same survivors). Output one
     row per input doc: (doc_id, host, host_rank, keep)."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    # scheme match is case-insensitive and the host is lowercased: mixed-
+    # case urls used to fall into one shared '' host partition (wrong caps
+    # AND a single-task window skew magnet)
+    host = F.lower(F.regexp_extract(F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1))
     w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
     return (
         df.select(F.col(id_col).alias("doc_id"), host.alias("host"))
@@ -278,7 +300,7 @@ def repetition_signals(
         .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
     )
     uni = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("w"))
+        base.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("total"), F.count_distinct("w").alias("distinct_w"))
     )

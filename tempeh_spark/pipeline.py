@@ -146,18 +146,40 @@ def run_extraction_job(
     pages = read_pages(spark, source)
 
     is_table = "/" not in output
-    done_urls = None
+    done = None
     if resume:
-        try:
-            done_urls = (
-                spark.read.table(output) if is_table else spark.read.parquet(output)
-            ).select("url")
-        except Exception:
-            done_urls = None  # first run: nothing committed yet
+        from pyspark.errors import AnalysisException
 
-    if done_urls is not None:
-        # left_anti on the bucketing key: both sides hash-partition on url
-        pages = pages.join(done_urls, on="url", how="left_anti")
+        # NARROW first-run detection: only "nothing committed yet" may skip
+        # the anti-join. A transient read failure (metastore outage, bad
+        # footer, permissions) must FAIL the job — swallowing it would
+        # re-parse and re-append the whole corpus, permanently duplicating
+        # rows.
+        try:
+            done = spark.read.table(output) if is_table else spark.read.parquet(output)
+        except AnalysisException as e:
+            get_cls = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cls = (get_cls() if get_cls else None) or ""
+            fresh = (
+                "TABLE_OR_VIEW_NOT_FOUND" in cls
+                or "PATH_NOT_FOUND" in cls
+                or "not found" in str(e).lower()
+                or "does not exist" in str(e).lower()
+            )
+            if not fresh:
+                raise
+            done = None  # first run: nothing committed yet
+
+    if done is not None:
+        # left_anti on the bucketing key (plus the capture timestamp when
+        # the source carries one: the pipeline supports many captures per
+        # url, and a url-only key would silently drop re-crawls)
+        keys = ["url"]
+        if "warc_ts" in pages.columns and "warc_ts" in done.columns:
+            keys.append("warc_ts")
+        pages = pages.join(done.select(*keys), on=keys, how="left_anti")
 
     extracted = extract_pages(pages, cfg)
 

@@ -159,6 +159,10 @@ def ivf_multiprobe_topk(
     n_probe cells recovers them at n_probe/n_cells of the brute cost.
     Centroids and probe lists are tiny and broadcast; the corpus only ever
     streams through one equi-join on cell."""
+    # spread FIRST: ivf_centroids posexplodes every vector (row x dim), and
+    # a single-footer parquet corpus would run that whole explode+agg in
+    # one task (CLAUDE.md rule)
+    corpus = _spread(corpus, id_col)
     cents = ivf_centroids(corpus, vec_col, cell_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -180,7 +184,6 @@ def ivf_multiprobe_topk(
         .where(F.col("pr") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    corpus = _spread(corpus, id_col)
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),

@@ -59,7 +59,12 @@ def _stream_file_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        # the basename is used as a GLOB: escape metacharacters or a file
+        # named events[1].parquet silently matches nothing
+        import re as _re
+
+        escaped = _re.sub(r"([*?\[\]{}\\])", r"[\1]", os.path.basename(path))
+        reader = reader.option("pathGlobFilter", escaped)
         return reader.parquet(os.path.dirname(path))
     return reader.parquet(path)
 

@@ -66,17 +66,22 @@ _CRLF = b"\r\n"
 
 
 def build_record(url: str, ts: datetime.datetime, html: bytes) -> bytes:
-    """One WARC/1.0 response record wrapping an HTTP 200 response."""
+    """One WARC/1.0 response record wrapping an HTTP 200 response.
+
+    Sub-second timestamps use the WARC 1.1 fractional form
+    (``...ss.ffffffZ``) so ``read(build(x)) == x`` holds at the parquet/
+    Spark microsecond resolution, not just at whole seconds."""
     http = (
         b"HTTP/1.1 200 OK\r\n"
         b"Content-Type: text/html; charset=utf-8\r\n"
         b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
     )
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
     headers = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
         b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
-        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime(fmt).encode() + b"\r\n"
         b"Content-Type: application/http; msgtype=response\r\n"
         b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
     )
@@ -123,6 +128,12 @@ def parse_records(blob: bytes) -> list[tuple]:
             out.append((None, None, None, start, "missing/invalid Content-Length"))
             pos = hdr_end + 4
             continue
+        if clen < 0:
+            # a negative length would move the scan position BACKWARD and
+            # re-discover this record forever (confirmed hang pre-r4)
+            out.append((None, None, None, start, "negative Content-Length"))
+            pos = hdr_end + 4
+            continue
         body = blob[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen + 4  # skip the \r\n\r\n record trailer
         if len(body) < clen:
@@ -131,10 +142,10 @@ def parse_records(blob: bytes) -> list[tuple]:
         url = headers.get("warc-target-uri")
         ts = None
         if "warc-date" in headers:
+            raw_ts = headers["warc-date"]
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in raw_ts else "%Y-%m-%dT%H:%M:%SZ"
             try:
-                ts = datetime.datetime.strptime(
-                    headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
-                )
+                ts = datetime.datetime.strptime(raw_ts, fmt)
             except ValueError:
                 out.append((url, None, None, start, "invalid WARC-Date"))
                 continue
@@ -176,9 +187,15 @@ def build_warc(
     html_col: str = "html",
 ) -> DataFrame:
     """Group pages into multi-record WARC file blobs (records url-ordered
-    within a file so the blob bytes are deterministic)."""
+    within a file so the blob bytes are deterministic). Rows with a NULL
+    url/ts/html cannot be framed as records and are dropped here — route
+    error rows elsewhere before sinking (they used to crash the whole
+    applyInPandas task)."""
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[url_col, ts_col, html_col])
+        if pdf.empty:
+            return pd.DataFrame({"file_id": [], "warc": [], "n_records": []})
         pdf = pdf.sort_values(url_col, kind="mergesort")
         blob = b"".join(
             build_record(u, t.to_pydatetime() if hasattr(t, "to_pydatetime") else t, bytes(h))

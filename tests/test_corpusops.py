@@ -129,3 +129,37 @@ def test_hash_sample_deterministic_and_unbiased(spark):
     c = hash_sample(df, rate=0.25, salt="s1")
     both = a.where("keep").join(c.where("keep"), "doc_id").count()
     assert 150 < both < 400  # ~250 expected under independence
+
+
+def test_segment_dedup_literal_separator_and_null_text(spark):
+    from tempeh_spark.corpusops import segment_dedup
+
+    rows = [
+        (1, "shared boilerplate.unique one"),
+        (2, "shared boilerplate.unique two"),
+        (3, None),  # must keep its output row, not vanish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # '.' is a LITERAL separator: a regex interpretation would split on
+    # every character and shred the documents
+    out = {r.doc_id: r for r in segment_dedup(df, sep=".").collect()}
+    assert len(out) == 3
+    assert out[1].clean_text == "unique one" and out[1].n_dropped == 1
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text is None and out[3].n_kept == 0 and out[3].n_dropped == 0
+
+
+def test_per_host_cap_mixed_case_urls(spark):
+    from tempeh_spark.corpusops import per_host_cap
+
+    rows = [
+        (1, "HTTP://A.com/1"),
+        (2, "http://a.COM/2"),
+        (3, "https://B.com/1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in per_host_cap(df, cap=1).collect()}
+    # case variants of one host share a cap; distinct hosts do not
+    assert out[1].host == "a.com" and out[1].keep
+    assert out[2].host == "a.com" and not out[2].keep
+    assert out[3].host == "b.com" and out[3].keep

@@ -114,3 +114,38 @@ def test_parse_warc_null_blob_and_spark_path(spark):
     nul = spark.createDataFrame([(None,)], "warc binary")
     errs = parse_warc(nul).collect()
     assert len(errs) == 1 and errs[0].error == "null warc blob"
+
+
+def test_negative_content_length_terminates_with_error_row():
+    # a negative length must not move the scan backward (confirmed hang
+    # pre-fix); the scan recovers at the next record
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://a/bad\r\nContent-Length: -170\r\n\r\n"
+    )
+    rows = parse_records(bad + rec(url="http://a/good"))
+    assert any(r[4] == "negative Content-Length" for r in rows)
+    assert any(r[0] == "http://a/good" and r[4] is None for r in rows)
+
+
+def test_subsecond_timestamp_roundtrips_warc11_fractional():
+    ts = datetime.datetime(2024, 5, 1, 12, 30, 45, 123456)
+    rows = parse_records(rec(ts=ts))
+    assert rows[0][4] is None and rows[0][1] == ts
+
+
+def test_build_warc_drops_unframeable_null_rows(spark):
+    from tempeh_spark.warc import build_warc
+
+    pages = spark.createDataFrame(
+        [
+            (0, "http://a/1", TS, bytearray(b"<p>ok</p>")),
+            (0, None, TS, bytearray(b"<p>no url</p>")),
+            (0, "http://a/3", None, bytearray(b"<p>no ts</p>")),
+            (0, "http://a/4", TS, None),
+        ],
+        "file_id long, url string, warc_ts timestamp, html binary",
+    )
+    out = parse_warc(build_warc(pages)).collect()
+    assert [r.url for r in out] == ["http://a/1"]
+    assert out[0].error is None
