@@ -122,7 +122,11 @@ def gopher_quality(
     Signals are rounded to 4 decimals so the decision is reproducible
     across engines."""
     wc = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("w"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), rf"[{WS}]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")

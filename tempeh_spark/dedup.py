@@ -95,21 +95,15 @@ def char_shingles(
     text_col: str = "text", ngram: int = 3, max_chars: int | None = None
 ) -> Column:
     """Array-valued shingles (interpreted HOF — convenient per-row form;
-    use shingle_rows for anything that scales with corpus size)."""
+    use shingle_rows for anything that scales with corpus size). Delegates
+    to textops.shingle_array, the single home of the descending-sequence
+    short-doc guard."""
+    from tempeh_spark.textops import shingle_array
+
     norm = normalize_text(text_col)
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (ngram - 1)),
-            lambda i: F.substring(norm, i, ngram),
-        )
-    )
-    # short docs get an EMPTY shingle set (Spark sequences run descending
-    # when end < start, which would fabricate a partial-text shingle)
-    return F.when(F.length(norm) >= ngram, grams).otherwise(
-        F.expr("cast(array() as array<string>)")
-    )
+    return shingle_array(norm, ngram)
 
 
 def ngram_jaccard_pairs(
@@ -171,6 +165,7 @@ def minhash_signatures_wide(
     num_perm: int = 16,
     ngram: int = 3,
     max_chars: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Wide minhash signature: (id, mh0..mh{k-1}) in ONE hash aggregation
     over the un-exploded shingle rows — k ``min(md5('p<k>:' || g))``
@@ -183,8 +178,16 @@ def minhash_signatures_wide(
 
     Hex-string min is a valid permutation min-hash (md5 is the random
     permutation; lexicographic order on hex = numeric order on the digest),
-    expressible identically in DuckDB for the oracle."""
-    sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
+    expressible identically in DuckDB for the oracle.
+
+    ``shingles`` lets a caller that already built the (id, g) rows (the
+    LSH verify step needs them too) pass them in — without it the dominant
+    normalize+explode+distinct stage would run twice per dedup job."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, ngram, max_chars)
+    )
     aggs = [
         F.min(
             F.md5(F.encode(F.concat(F.lit(f"p{k}:"), F.col("g")), "UTF-8"))
@@ -240,7 +243,9 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_perm // bands
     sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
-    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, ngram, max_chars)
+    wide = minhash_signatures_wide(
+        df, id_col, text_col, num_perm, ngram, max_chars, shingles=sh
+    )
     # band signatures straight off the wide columns: one explode of a
     # bands-long array per doc — no second groupBy/collect_list shuffle
     band_structs = [
@@ -318,8 +323,12 @@ def simhash_table(
         raise ValueError("bits must be a multiple of 4 in [4, 60]")
     base = _spread(df, id_col)
     norm = normalize_text(text_col)
-    toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
-    exploded = base.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    # explode-then-where, not F.filter(...)-then-explode: the array filter
+    # is an interpreted HOF per document (CLAUDE.md invariant); the post-
+    # explode predicate is pure codegen with identical semantics
+    exploded = base.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("tok")
+    ).where(F.col("tok") != "")
     hv = F.conv(
         F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, bits // 4), 16, 10
     ).cast("long")
@@ -481,6 +490,13 @@ def duplicate_components(
         .select("v", F.col("v").alias("label"))
         .persist()
     )
+    # cache hygiene: unpersist must be called on the EXACT DataFrame object
+    # that was persisted — Dataset.unpersist on a projection of it is a
+    # silent no-op (CacheManager matches the logical plan), which used to
+    # leak one cached label table per round. prev_cached tracks the live
+    # persisted object; it is released only after the next round's table is
+    # materialized (the `changed` agg forces it).
+    prev_cached = labels
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.s == labels.v)
@@ -498,13 +514,16 @@ def duplicate_components(
             )
         )
         if it % 4 == 3:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.localCheckpoint()  # eager; cleaner-managed
+            new_cached = None
         else:
             new_labels = new_labels.persist()
+            new_cached = new_labels
         changed = new_labels.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
-        old = labels
         labels = new_labels.select("v", "label")
-        old.unpersist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_cached
         if changed == 0:
             converged = True
             break
@@ -522,7 +541,8 @@ def duplicate_components(
     result = labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
     ).localCheckpoint(eager=True)
-    labels.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return result
 
 

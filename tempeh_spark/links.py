@@ -94,6 +94,8 @@ def extract_links(
 ) -> DataFrame:
     """Explode each document into its outlinks (see module docstring)."""
 
+    from tempeh_spark.udf import _sanitize
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -104,10 +106,17 @@ def extract_links(
                     continue
                 res = parse_bytes(bytes(data), options)
                 if res.error is not None:
-                    rows.append((did, None, None, None, None, None, res.error))
+                    rows.append(
+                        (did, None, None, None, None, None, _sanitize(res.error))
+                    )
                     continue
+                # hrefs/anchors from malformed UTF-16 can carry lone
+                # surrogates (chardecode contract) — sanitize before Arrow
+                # or the whole batch dies in the str->utf8 conversion
                 for idx, href, anchor, l, c in walk_links(res.nodes or []):
-                    rows.append((did, idx, href, anchor, l, c, None))
+                    rows.append(
+                        (did, idx, _sanitize(href), _sanitize(anchor), l, c, None)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "link_idx", "href", "anchor", "l", "c", "error"],

@@ -486,9 +486,11 @@ def media_dims(
     df: DataFrame, media_col: str = "media", id_col: str = "media_id"
 ) -> DataFrame:
     """``mapInPandas`` header decoding over a binary media column: REAL
-    decoded fields (wav channels/rate/duration, png+gif dimensions) with a
-    per-row error channel — codec-requiring formats (jpeg/mp4/mp3 payloads)
-    yield an error row, never a job abort."""
+    decoded fields (wav channels/rate/duration, png+gif dimensions, mp3
+    channels/rate/duration from the frame-header walk, mp4 duration +
+    video track dims from the mvhd/tkhd box walk) with a per-row error
+    channel — the remaining codec-requiring format (jpeg pixels) yields an
+    error row, never a job abort."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

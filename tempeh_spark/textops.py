@@ -34,9 +34,12 @@ TOKEN_RX = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS}]"
 
 
 def token_count(col: Column | str = "text") -> Column:
-    """Whitespace token count (empty tokens dropped)."""
+    """Whitespace token count (empty tokens dropped). Counted as the number
+    of non-whitespace runs via regexp_count — pure codegen, identical to
+    size(filter(split(...))) but without the interpreted array-filter HOF
+    on the corpus-scaling path (CLAUDE.md invariant)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.filter(F.split(c, rf"[{WS}]+"), lambda x: x != F.lit("")))
+    return F.regexp_count(c, F.lit(rf"[^{WS}]+"))
 
 
 def regex_token_count(col: Column | str = "text") -> Column:
@@ -112,23 +115,33 @@ def fingerprint(col: Column | str = "text") -> Column:
     return F.md5(F.encode(normalize_text(col), "UTF-8"))
 
 
-def bottomk_shingle_sketch(col: Column | str = "text", k: int = 8, ngram: int = 4) -> Column:
-    """Bottom-k sketch over character n-gram hashes: the k smallest md5 hex
-    digests of distinct n-grams, concatenated. A compact similarity sketch
-    (winnowing-style) computable identically in any SQL engine."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = normalize_text(c)
+def shingle_array(norm: Column, ngram: int) -> Column:
+    """Distinct character n-grams of an ALREADY-normalized column as an
+    array (interpreted HOF — per-row convenience form; use
+    dedup.shingle_rows for anything that scales with corpus size).
+
+    The single home of the short-doc guard: Spark sequence(1, end<1) runs
+    DESCENDING and would fabricate a partial-text shingle no SQL engine
+    emits — short docs get an EMPTY array. dedup.char_shingles and
+    bottomk_shingle_sketch both delegate here so the guard can never
+    diverge between them."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(norm) - (ngram - 1)),
             lambda i: F.substring(norm, i, ngram),
         )
     )
-    # short docs sketch to '' — Spark sequence(1, end<1) runs DESCENDING and
-    # would otherwise fabricate a partial-text shingle no SQL engine emits
-    grams = F.when(F.length(norm) >= ngram, grams).otherwise(
+    return F.when(F.length(norm) >= ngram, grams).otherwise(
         F.expr("cast(array() as array<string>)")
     )
+
+
+def bottomk_shingle_sketch(col: Column | str = "text", k: int = 8, ngram: int = 4) -> Column:
+    """Bottom-k sketch over character n-gram hashes: the k smallest md5 hex
+    digests of distinct n-grams, concatenated. A compact similarity sketch
+    (winnowing-style) computable identically in any SQL engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = shingle_array(normalize_text(c), ngram)
     hashes = F.array_sort(F.transform(grams, lambda g: F.md5(F.encode(g, "UTF-8"))))
     return F.array_join(F.slice(hashes, 1, k), "")
 

@@ -109,7 +109,9 @@ def parse_batch(
                 _sanitize(ex.title) if ok and with_text else None,
                 _sanitize(r.nodes_json()) if ok and with_nodes_json else None,
                 [
-                    {"dom_path": p, "l": l, "c": c, "text": _sanitize(t)}
+                    # dom_path carries tag names, which can hold lone
+                    # surrogates just like text — sanitize BOTH fields
+                    {"dom_path": _sanitize(p), "l": l, "c": c, "text": _sanitize(t)}
                     for (p, l, c, t) in ex.spans
                 ]
                 if ok and with_spans

@@ -90,10 +90,13 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> Da
         canonicalize_url(url_col).alias("canon_url"),
     )
     keepers = canon.groupBy("canon_url").agg(F.min(id_col).alias("keeper"))
-    return canon.join(keepers, "canon_url").select(
+    # LEFT join: a NULL url never equi-joins, and an inner join would drop
+    # the row entirely (no keep decision at all). NULL-url rows are their
+    # own keepers — dedup by canonical url cannot apply to them.
+    return canon.join(keepers, "canon_url", "left").select(
         id_col,
         url_col,
         "canon_url",
-        "keeper",
-        (F.col(id_col) == F.col("keeper")).alias("keep"),
+        F.coalesce("keeper", F.col(id_col)).alias("keeper"),
+        (F.col(id_col) == F.coalesce("keeper", F.col(id_col))).alias("keep"),
     )

@@ -95,6 +95,12 @@ def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
     ``similarity.lsh_signature`` over every band at once. One UDF invocation
     replaces ``n_bands * planes_per_band`` interpreted 64-dim folds per row.
     """
+    if planes_per_band > 31:
+        raise ValueError(
+            f"planes_per_band={planes_per_band} > 31: band signatures are "
+            "int32 and the bit weights would silently wrap (int64 -> int32 "
+            "astype), corrupting bucket keys"
+        )
     total = n_bands * planes_per_band
     planes = np.array(
         [_hyperplane(dim, p) for p in range(total)], dtype=np.float64

@@ -65,3 +65,25 @@ def test_extract_links_spark_error_channel(spark):
     assert rows[0].href == "/ok" and rows[0].error is None
     assert rows[1].error == "null html" and rows[1].href is None
     assert "Invalid UTF-8" in rows[2].error
+
+
+def test_lone_surrogate_in_links_is_sanitized_not_fatal(spark):
+    """A malformed UTF-16 doc with an unpaired surrogate in anchor text /
+    href must produce sanitized rows, never an Arrow UnicodeEncodeError
+    that aborts the whole batch (chardecode documents lone surrogates as
+    reachable; udf._sanitize is the established handling)."""
+    from tempeh_spark.links import extract_links
+
+    # UTF-16-LE with BOM; 0xD800 is an unpaired high surrogate code unit
+    body = '<a href="/x'.encode("utf-16-le") + b"\x00\xd8" + '">t'.encode(
+        "utf-16-le"
+    ) + b"\x00\xd8" + "</a>".encode("utf-16-le")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xfe" + body))], "doc_id long, html binary"
+    )
+    rows = extract_links(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the row came through; the surrogate was replaced, not propagated
+    assert r.error is None and r.href.startswith("/x")
+    "\ud800" not in (r.href or "") and "\ud800" not in (r.anchor or "")
