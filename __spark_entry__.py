@@ -153,6 +153,8 @@ def _md5(s: str) -> str:
 
 def _values_sql(rows: list[tuple], cols: list[str]) -> str:
     def lit(v):
+        if v is None:
+            return "NULL"  # str(None) would emit the invalid token `None`
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, bool):
@@ -2653,20 +2655,21 @@ FROM documents
         "embedding_neardup": _oracle_embedding_neardup(),
         "brute_topk": _oracle_brute_topk(),
         "ivf_topk": _oracle_ivf_topk(),
-        "hourly_events": """
+        # avg via _STABLE_AVG_SQL — the SAME floor-gridding form _stable_avg
+        # uses (an inline round()::DECIMAL copy here diverged for negative
+        # .00005-boundary values; single source of truth now)
+        "hourly_events": f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n,
-       (CAST(sum(CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)
-        / count(*)) / 10000.0 AS avg_value
+       {_STABLE_AVG_SQL.format(c='value')} AS avg_value
 FROM events GROUP BY 1, 2
 """,
         # streaming gate: availableNow drains the backlog, so the finished
         # stream equals the batch rollup
-        "streaming_hourly": """
+        "streaming_hourly": f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n,
-       (CAST(sum(CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)
-        / count(*)) / 10000.0 AS avg_value
+       {_STABLE_AVG_SQL.format(c='value')} AS avg_value
 FROM events GROUP BY 1, 2
 """,
         # file-sink streaming gate: exactly-once parquet sink + checkpoint,

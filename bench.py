@@ -52,9 +52,12 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-# parse-corpus rows scale with sf so the bench exercises real volume
-_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# parse-corpus rows scale with sf so the bench exercises real volume; the
+# scale is the trailing sf<float> path component (a substring test crashed
+# on any path merely CONTAINING 'sf', e.g. /home/transfer/corpus)
+_sf_m = re.search(r"sf(\d+(?:\.\d+)?)/?$", SF_DIR)
+_SF = float(_sf_m.group(1)) if _sf_m else 0.1
 PARSE_ROWS = int(os.environ.get("SPARK_GRAFT_PARSE_ROWS", str(int(500_000 * _SF))))
 
 SUITE = (

@@ -54,6 +54,12 @@ def main():
     import __spark_entry__ as entrymod
     from tempeh_spark.session import build_session
 
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print(f"available: {sorted(entrymod.queries())}")
+        sys.exit(2)
+
     spark = build_session(app_name="oracle-check", cpus=8, shuffle_partitions=16)
     con = duck_con(sf_dir)
 

@@ -114,10 +114,10 @@ def main() -> None:
 
     truth = run_brute().select("query_id", "nbr_id").persist()
     n_true = truth.count()
-    hits = run_lsh().select("query_id", "nbr_id").join(
-        truth, ["query_id", "nbr_id"]
-    ).count()
+    lsh_out = run_lsh().select("query_id", "nbr_id").persist()
+    hits = lsh_out.join(truth, ["query_id", "nbr_id"]).count()
     recall = round(hits / n_true, 4)
+    lsh_out.unpersist()
 
     out = {
         "metric": "ann_crossover",

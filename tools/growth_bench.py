@@ -138,6 +138,7 @@ def main():
         fn()
 
     results = {}
+    blow_dir = None
     for scale in (1, COPIES):
         if scale == 1:
             docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -148,6 +149,7 @@ def main():
             import tempfile
 
             tmp = tempfile.mkdtemp(prefix="growth_")
+            blow_dir = tmp  # removed after the sweep (multi-hundred-MB)
             blow_up_docs(spark, scale).coalesce(1).write.parquet(f"{tmp}/documents")
             blow_up_embeddings(spark, scale).coalesce(1).write.parquet(f"{tmp}/emb")
             docs = spark.read.parquet(f"{tmp}/documents")
@@ -170,6 +172,10 @@ def main():
     (REPO / "BENCH" / "growth_latest.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
     spark.stop()
+    if blow_dir is not None:
+        import shutil
+
+        shutil.rmtree(blow_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ DEFAULT_ROWS = 400_000
 LEVELS = (4, 8, 16, 32)
 
 
+# NOTE: the /proc/stat steal sampling below deliberately duplicates
+# bench.py's — both files are driver-run artifacts that must stay
+# self-contained (an import between them is a fragility the per-round
+# artifact cannot afford); keep the two in sync when touching either.
 def run_level(cpus: int, rows: int, profile: str) -> None:
     import os
     import statistics

@@ -19,7 +19,6 @@ Writes BENCH/skew_latest.json and prints one JSON line.
 
 from __future__ import annotations
 
-import datetime
 import json
 import sys
 import time
