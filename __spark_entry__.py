@@ -2295,13 +2295,19 @@ tranked AS (
 def _ivf_probe_ctes(n_probe: int = 3, dim: int = 64) -> str:
     """Multi-probe IVF CTEs (assumes nothing): el (vec+label), cent
     (per-cell mean via a lateral range over the 64 dims), probes (top
-    n_probe cells per query by centroid cosine), ivf3_ranked."""
+    n_probe cells per query by centroid cosine), ivf3_ranked.
+
+    cent mirrors similarity.ivf_centroids' exact fixed-point gridding
+    (grid_bits=20): floor(x*2^20 + 0.5) BIGINT units summed exactly, then
+    one IEEE division chain — order-independent, bit-equal across engines
+    (avg(double) would sum in engine-specific order and can drift a ulp)."""
     return f"""
 el AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 cent AS (
   SELECT label, list(m ORDER BY i) AS cv
   FROM (
-    SELECT label, i, avg(v[i]) AS m
+    SELECT label, i,
+           (sum(floor(v[i] * 1048576.0 + 0.5)::BIGINT)::DOUBLE / count(*)) / 1048576.0 AS m
     FROM el, range(1, {dim + 1}) t(i)
     GROUP BY label, i
   ) GROUP BY label

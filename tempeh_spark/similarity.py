@@ -128,16 +128,38 @@ def ivf_topk(
 
 
 def ivf_centroids(
-    corpus: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    grid_bits: int = 20,
 ) -> DataFrame:
-    """Per-cell mean vector: posexplode -> (cell, dim) avg -> re-assemble.
-    Output is n_cells rows — broadcastable at any corpus scale (the shuffle
-    carries n_cells x dim partial sums, map-side combined)."""
+    """Per-cell mean vector: posexplode -> (cell, dim) exact fixed-point
+    mean -> re-assemble. Output is n_cells rows — broadcastable at any
+    corpus scale (the shuffle carries n_cells x dim partial sums, map-side
+    combined).
+
+    Determinism: ``F.avg(double)`` combines shuffled map-side partials in
+    nondeterministic fetch order, and a last-ulp drift landing on a .00005
+    boundary of the rounded ``cell_score`` could flip a probe set between
+    runs/engines. Same cure as ``clustering.kmeans_update``: grid each
+    coordinate to ``2**-grid_bits`` units (floor(x*2^g + 0.5) — plain IEEE
+    multiply/add/floor, bit-identical in Spark and DuckDB), sum the BIGINT
+    units exactly in any order, then one IEEE division chain."""
+    scale = float(1 << grid_bits)
     pos = corpus.select(
         F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("i", "x")
     )
-    per_dim = pos.groupBy("cell", "i").agg(F.avg("x").alias("m"))
-    return per_dim.groupBy("cell").agg(
+    per_dim = pos.groupBy("cell", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long")
+        ).alias("units"),
+    )
+    return per_dim.select(
+        "cell",
+        "i",
+        ((F.col("units").cast("double") / F.col("n")) / F.lit(scale)).alias("m"),
+    ).groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
         ).alias("centroid")

@@ -60,10 +60,13 @@ def _stream_file_source(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         # the basename is used as a GLOB: escape metacharacters or a file
-        # named events[1].parquet silently matches nothing
+        # named events[1].parquet silently matches nothing. Backslash-escape
+        # (Hadoop GlobPattern honors \-escapes for every metachar) — the
+        # [..]-class wrapping breaks for ']' and '\', which produce an
+        # unclosed/empty character class that glob translation rejects.
         import re as _re
 
-        escaped = _re.sub(r"([*?\[\]{}\\])", r"[\1]", os.path.basename(path))
+        escaped = _re.sub(r"([*?\[\]{}\\])", r"\\\1", os.path.basename(path))
         reader = reader.option("pathGlobFilter", escaped)
         return reader.parquet(os.path.dirname(path))
     return reader.parquet(path)

@@ -173,14 +173,14 @@ def anchor_stats(
         links.where(F.col(href_col).isNotNull())
         .select(
             target_host(href_col, src).alias("dst_host"),
+            # explode-then-where, NOT F.filter(...) — a higher-order array
+            # lambda is interpreted per element and this path scales with
+            # corpus size; the post-explode predicate stays in codegen
             F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(anchor_col)), rf"[{WS}]+"),
-                    lambda x: x != F.lit(""),
-                )
+                F.split(F.lower(F.col(anchor_col)), rf"[{WS}]+")
             ).alias("term"),
         )
-        .where(F.col("dst_host").isNotNull())
+        .where(F.col("dst_host").isNotNull() & (F.col("term") != ""))
     )
     counts = terms.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
     if min_count > 1:

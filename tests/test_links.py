@@ -86,4 +86,4 @@ def test_lone_surrogate_in_links_is_sanitized_not_fatal(spark):
     r = rows[0]
     # the row came through; the surrogate was replaced, not propagated
     assert r.error is None and r.href.startswith("/x")
-    "\ud800" not in (r.href or "") and "\ud800" not in (r.anchor or "")
+    assert "\ud800" not in (r.href or "") and "\ud800" not in (r.anchor or "")
