@@ -27,13 +27,24 @@ round-3 measured parse 2.65 -> 3.22 s when a 24-shape warm-up preceded it
 query then warms its own shape once at sf0.001 (janino compile + Python
 imports) AND once untimed at SF_DIR before its timed reps: the first
 at-scale execution pays HotSpot C2 tier-up of the post-AQE generated code
-(measured: dedup_decisions 10-15 s cold vs 3-4 s steady regardless of
+(measured: dedup_decisions 15-20 s cold vs steady state regardless of
 small-corpus warming — AQE picks a different physical plan at sf0.1, so
-sf0.001 warming cannot pre-compile it). The cold run is recorded per
-query as cold_first_run_sec in the evidence file; the timed reps are
-steady-state — what every long-running executor sees after its first few
-tasks. See BENCH/PLANS.md §JIT for the hugeMethodLimit/methodSplit
-investigation (rejected: -30-40%% on other queries).
+sf0.001 warming cannot pre-compile it). JIT_HEAVY queries get a SECOND
+untimed at-scale run (r4 measured minhash_lsh timed reps 8.0/4.6/4.0 —
+one warm run was not enough tier-up for the 16-min-agg shingle shapes).
+The cold run(s) are recorded per query as cold_first_run_sec /
+warm2_run_sec in the evidence file; the timed reps are steady-state —
+what every long-running executor sees after its first few tasks.
+
+dedup_decisions steady state (r5 reconciliation, see BENCH/PLANS.md §5):
+sf0.1 best ~4.7-5.5 s / sf0.01 ~2.4 s at 0%% steal after the r5 explode-
+mirror + union-find-fast-path + window-star-edges rework (the r4
+artifact's 7.7-9.0 s was honest for r4 code; the "2-2.7 s steady" older
+doc claim was the sf0.01-sized plan floor, not an sf0.1 measurement).
+Session-to-session JVM variance on this box is +/-30%%; the per-rep times
+in the evidence file are the ground truth. See BENCH/PLANS.md §JIT for
+the hugeMethodLimit/methodSplit investigation (rejected: -30-40%% on
+other queries).
 """
 
 from __future__ import annotations
@@ -201,11 +212,19 @@ def main() -> None:
     qs = entrymod.queries()
     t_w = time.perf_counter()
     cold_runs: dict[str, float] = {}
+    warm2_runs: dict[str, float] = {}
+    # shapes whose generated code is too large for one tier-up pass (r4:
+    # minhash_lsh timed reps 8.0/4.6/4.0 after ONE at-scale warm run)
+    jit_heavy = {"minhash_lsh", "dedup_decisions"}
     for name in SUITE:
         qs[name](spark, WARM_DIR).count()  # compile THIS shape only
         t_c = time.perf_counter()  # C2 tier-up run at scale, recorded not timed
         qs[name](spark, SF_DIR).count()
         cold_runs[name] = round(time.perf_counter() - t_c, 3)
+        if name in jit_heavy:
+            t_c = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            warm2_runs[name] = round(time.perf_counter() - t_c, 3)
         rows_box = {}
 
         def run_q(name=name):
@@ -235,6 +254,7 @@ def main() -> None:
             "steal_pct_at_best": steals,
             "query_reps_sec": reps_log,
             "cold_first_run_sec": cold_runs,
+            "warm2_run_sec": warm2_runs,
             "reps": REPS,
             "sf": _SF,
             "cpus": CPUS,

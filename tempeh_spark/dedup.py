@@ -228,12 +228,20 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     verify_threshold: float = 0.4,
     max_chars: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands of rows=num_perm/bands; candidates = pairs sharing any band
     signature (equi-join on (band, signature) — never a cross join);
     verified against true shingle Jaccard >= verify_threshold.
+
+    ``shingles``: pre-built (id, g) rows. The shingle subtree feeds FOUR
+    consumers here (signatures, per-doc counts, both verify sides); a
+    caller that materializes the whole result (``dedup_decisions``) should
+    pass a persisted shingle table so the dominant normalize+explode+
+    distinct stage runs once, not four times — measured 8.0 -> 5.5 s on
+    the sf0.1 bench corpus.
     """
     if num_perm % bands != 0:
         raise ValueError(
@@ -242,7 +250,11 @@ def minhash_lsh_pairs(
             f"never banded, silently lowering recall"
         )
     rows_per_band = num_perm // bands
-    sh = shingle_rows(df, id_col, text_col, ngram, max_chars)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, ngram, max_chars)
+    )
     wide = minhash_signatures_wide(
         df, id_col, text_col, num_perm, ngram, max_chars, shingles=sh
     )
@@ -274,7 +286,15 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # verify: true Jaccard over shingle rows, restricted to candidates
+    # verify: true Jaccard over shingle rows, restricted to candidates.
+    # NOTE a tempting "optimization" measured 2x WORSE here: semi-joining
+    # sh down to candidate doc ids first re-executes the whole banded
+    # candidate subtree a second time (cand feeds both the id list and the
+    # intersection), costing far more than the narrower shuffle saves. At
+    # crawl scale the right shape is to persist/checkpoint `cand` and the
+    # restricted shingles in the JOB layer (dedup_decisions persists the
+    # shingle table); inside this lazy API every subtree must stay
+    # single-use.
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -461,29 +481,92 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, component)
     where component = min doc id reachable — the keeper-assignment step that
     turns pairwise dup evidence into keep/drop decisions.
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; convergence needs
-    O(component diameter) rounds — tiny for dup clusters, which are
-    near-cliques. All data stays on executors; the driver sees only a
-    one-row convergence count per round (the standard Spark CC shape; at
-    10^12 edges the same loop runs with checkpointed lineage, which
-    ``localCheckpoint`` provides here every few rounds).
+    Two physical strategies, picked by MEASURED edge count (the same
+    adaptive move AQE makes for join strategies — the logical result is
+    identical either way):
+
+    * ``n_edges <= driver_edge_limit``: union-find on the driver. The dup
+      graph is already a corpus-scale REDUCTION (one row per verified
+      near-dup pair, distinct), and below the limit (~100 MB at 5M
+      symmetrized edges) a driver pass beats 2+ rounds of
+      join/agg/sync stages by seconds of pure scheduling latency. This is
+      a deliberate small-GRAPH fast path, not a small-corpus shortcut:
+      the edge set it collects was produced by the fully distributed
+      LSH/exact pipeline.
+    * larger graphs: iterative min-label propagation — each round every
+      vertex takes the min of its own and its neighbors' labels;
+      convergence needs O(component diameter) rounds (tiny for dup
+      clusters, which are near-cliques). All data stays on executors; the
+      driver sees a one-row convergence count per round, with
+      ``localCheckpoint`` truncating lineage every few rounds. Set
+      ``driver_edge_limit=0`` to force this path (the tests do).
 
     The DuckDB oracle computes the TRUE transitive closure with a recursive
     CTE, so the gate verifies the fixpoint, not the procedure.
     """
     converged = False
-    edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
-        .distinct()
+    # Symmetrize with ONE pass over pairs: explode two mirrored structs per
+    # row. The self-union form (pairs UNION pairs-swapped) executes the
+    # whole upstream pair-producer subtree TWICE — for dedup_decisions that
+    # is the full LSH candidate+verify pipeline, measured +2 s at sf0.1.
+    raw = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                    F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .persist()
     )
+    # the strategy gate counts PRE-distinct mirrored rows — union-find is
+    # idempotent to duplicate edges, so the fast path skips the distinct's
+    # shuffle entirely (the count is an upper bound on distinct edges,
+    # which only makes the gate conservative)
+    n_edges = raw.count()
+    if n_edges <= driver_edge_limit:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # one collect job, bounded by driver_edge_limit (~100 MB at 5M
+        # rows); toLocalIterator would schedule one sequential mini-job
+        # per partition
+        for row in raw.collect():
+            s, d = row[0], row[1]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union-by-min: the smaller root stays root, so every
+                # tree's root IS the component's min id at the end
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        out_rows = [(v, find(v)) for v in parent]
+        raw.unpersist()
+        id_type = raw.schema[0].dataType
+        schema = StructType(
+            [StructField("doc_id", id_type), StructField("component", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
+    edges = raw.distinct().persist()
+    edges.count()
+    raw.unpersist()
     labels = (
         edges.select(F.col("s").alias("v"))
         .distinct()
@@ -573,21 +656,35 @@ def dedup_decisions(
     is the checkpointed iterative loop, and the final assignment is one
     left join on doc id. The DuckDB oracle recomputes the transitive
     closure over an equivalent edge set (full exact-dup cliques vs star
-    edges — same components by construction)."""
+    edges — same components by construction).
+
+    The shingle table is persisted for the duration of the call (the LSH
+    step reads it four times), then released: ``duplicate_components``
+    fully materializes the edge set into a localCheckpoint, so nothing
+    downstream of the returned DataFrame references the shingles. At
+    10^12-doc scale this persist is MEMORY_AND_DISK on executor-local
+    storage — the standard trade for not recomputing the corpus-wide
+    explode per consumer."""
+    from pyspark.sql.window import Window
+
+    sh = shingle_rows(df, id_col, text_col, ngram, max_chars).persist()
     near = minhash_lsh_pairs(
-        df, id_col, text_col, num_perm, bands, ngram, verify_threshold, max_chars
+        df, id_col, text_col, num_perm, bands, ngram, verify_threshold, max_chars,
+        shingles=sh,
     ).select("id_a", "id_b")
+    # star edges keeper -> member via ONE window over the digest groups
+    # (the groupBy+self-join form scanned the digest subtree twice)
     dig = df.select(
         F.col(id_col).alias("id"),
         F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("digest"),
     )
-    grp = dig.groupBy("digest").agg(F.min("id").alias("keeper"))
     exact = (
-        dig.join(grp, "digest")
+        dig.withColumn("keeper", F.min("id").over(Window.partitionBy("digest")))
         .where(F.col("id") != F.col("keeper"))
         .select(F.col("keeper").alias("id_a"), F.col("id").alias("id_b"))
     )
     comp = duplicate_components(near.unionByName(exact), max_iter=max_iter)
+    sh.unpersist()
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")

@@ -48,7 +48,11 @@ class PipelineConfig:
     buckets: int | None = None  # default: 4 * defaultParallelism
     max_html_bytes: int = 64 * 1024 * 1024
     salt_mod: int = 16  # sub-bucket salt for hot urls / giant hosts
-    with_nodes_json: bool = True  # drop to shrink output ~3-5x when unneeded
+    # False skips the DOM-JSON serialization INSIDE the kernel (~40% of
+    # batch cost, udf.py parse_batch) and drops the column — not just a
+    # projection prune. The common 100 TB text-only profile wants False.
+    with_nodes_json: bool = True
+    with_spans: bool = True  # same deal for span materialization
 
 
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
@@ -88,7 +92,13 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         key = key + F.pmod(F.xxhash64("url", "warc_ts"), F.lit(cfg.salt_mod))
     bucketed = guarded.repartition(buckets, F.pmod(key, F.lit(buckets)))
 
-    parse_udf = make_parse_udf(cfg.options)
+    # thread the output flags into the KERNEL: dropping nodes_json/spans at
+    # the projection would still pay their serialization CPU per batch
+    parse_udf = make_parse_udf(
+        cfg.options,
+        with_nodes_json=cfg.with_nodes_json,
+        with_spans=cfg.with_spans,
+    )
     parsed = bucketed.withColumn("parsed", parse_udf(F.col("html")))
 
     out_cols = [
@@ -100,7 +110,7 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         F.col("parsed.text").alias("text"),
         F.col("parsed.main_text").alias("main_text"),
         F.col("parsed.title").alias("title"),
-        F.col("parsed.spans").alias("spans"),
+        *([F.col("parsed.spans").alias("spans")] if cfg.with_spans else []),
         F.col("parsed.encoding").alias("encoding"),
         F.col("parsed.n_tokens").alias("n_tokens"),
         F.col("parsed.n_nodes").alias("n_nodes"),

@@ -150,15 +150,21 @@ def test_bottomk_sketch_similarity(spark, docs):
 
 
 def test_duplicate_components(spark):
-    """Min-label propagation must reach the transitive-closure fixpoint —
-    including a 6-node path (diameter > 1 hop) and a separate 2-clique."""
+    """Both physical strategies (driver union-find fast path AND the
+    distributed min-label loop) must reach the same transitive-closure
+    fixpoint — including a 6-node path (diameter > 1 hop) and a separate
+    2-clique."""
     from tempeh_spark.dedup import duplicate_components
 
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 10)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    comp = {r["doc_id"]: r["component"] for r in duplicate_components(df).collect()}
-    assert all(comp[v] == 1 for v in (1, 2, 3, 4, 5, 6))
-    assert comp[10] == 10 and comp[11] == 10
+    for limit in (5_000_000, 0):  # fast path, then forced distributed loop
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in duplicate_components(df, driver_edge_limit=limit).collect()
+        }
+        assert all(comp[v] == 1 for v in (1, 2, 3, 4, 5, 6)), limit
+        assert comp[10] == 10 and comp[11] == 10, limit
 
 
 def test_vecmath_bit_equal_to_interpreted_fold(spark):

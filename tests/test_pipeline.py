@@ -27,6 +27,29 @@ def test_extract_pages_outputs(spark, pages_dir):
     assert {r["encoding"] for r in rows} >= {"utf-8", "utf-16-le", "utf-16-be", "utf-8-bom"}
 
 
+def test_kernel_flags_threaded_into_udf(spark, pages_dir):
+    """with_nodes_json/with_spans=False must reach the KERNEL (skip the
+    serialization work), not just the projection: the columns disappear
+    from the output AND the rows still parse clean (text/metrics intact)."""
+    from tempeh_spark.pipeline import PipelineConfig, extract_pages, read_pages
+
+    cfg = PipelineConfig(buckets=8, with_nodes_json=False, with_spans=False)
+    out = extract_pages(read_pages(spark, pages_dir), cfg)
+    assert "nodes_json" not in out.columns and "spans" not in out.columns
+    rows = out.collect()
+    assert len(rows) == 64 and all(r["error"] is None for r in rows)
+    assert all(r["text"] is not None and r["n_nodes"] > 0 for r in rows)
+
+    # and the kernel itself honors the flags (null outputs, not just prune)
+    from tempeh_spark.udf import make_parse_udf
+    from pyspark.sql import functions as F
+
+    lean = make_parse_udf(with_nodes_json=False, with_spans=False)
+    df = spark.createDataFrame([("u", b"<p>hi</p>")], "url string, html binary")
+    r = df.select(lean(F.col("html")).alias("p")).select("p.*").first()
+    assert r.nodes_json is None and r.spans is None and r.text == "hi"
+
+
 def test_oversize_guard(spark):
     from tempeh_spark.pipeline import PipelineConfig, extract_pages
 
