@@ -90,6 +90,8 @@ SUITE = (
     "line_dedup",
     "gopher_quality",
     "decontaminate",
+    "text_embedding",
+    "text_kmeans",
     "embedding_neardup",
     "embedding_lsh_neardup",
     "brute_topk",
