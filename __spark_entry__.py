@@ -1771,9 +1771,7 @@ def q_host_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_host_anchors() -> str:
-    return r"""
-WITH raw AS (
+_ANCHOR_COUNTS_CTES = r"""raw AS (
   SELECT (doc_id % 7 + 1) % 7 AS t, concat('next ', doc_id::VARCHAR) AS anchor FROM documents
   UNION ALL SELECT (doc_id % 7 + 1) % 7, 'again' FROM documents WHERE doc_id % 7 % 2 = 1
   UNION ALL SELECT (doc_id % 7 + 3) % 7, 'proto' FROM documents WHERE doc_id % 7 % 2 = 0
@@ -1784,7 +1782,12 @@ terms AS (
   SELECT t, unnest(list_filter(string_split_regex(lower(anchor), '[ \t\n\f\r]+'), x -> x <> '')) AS term
   FROM raw
 ),
-counts AS (SELECT t, term, count(*)::BIGINT AS n FROM terms GROUP BY 1, 2),
+counts AS (SELECT t, term, count(*)::BIGINT AS n FROM terms GROUP BY 1, 2)"""
+
+
+def _oracle_host_anchors() -> str:
+    return f"""
+WITH {_ANCHOR_COUNTS_CTES},
 ranked AS (
   SELECT t, term, n,
          row_number() OVER (PARTITION BY t ORDER BY n DESC, term ASC) AS rank
@@ -1793,6 +1796,38 @@ ranked AS (
 SELECT concat('site', t, '.example.com') AS dst_host, term, n, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 3
 """
+
+
+def _oracle_anchor_pairs() -> str:
+    return f"""
+WITH {_ANCHOR_COUNTS_CTES},
+ranked AS (
+  SELECT t, term, n,
+         sum(n) OVER (PARTITION BY t) AS host_total,
+         row_number() OVER (PARTITION BY t ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT term AS query_term, concat('site', t, '.example.com') AS dst_host, n,
+       ((n * 1000000) // host_total)::BIGINT AS weight_ppm, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-training pairs DELIVERABLE: (query_term, dst_host)
+    with an exact integer ppm weight (term's share of the host's counted
+    anchor occurrences, integer division only — bit-stable across
+    engines). Makes the webgraph family produce training data, not just
+    statistics."""
+    from tempeh_spark.webgraph import anchor_pairs
+
+    return anchor_pairs(_link_rows(spark, sf_dir), k=3).select(
+        "query_term",
+        "dst_host",
+        F.col("n").cast("long").alias("n"),
+        F.col("weight_ppm").cast("long").alias("weight_ppm"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "host_graph": q_host_graph,
         "host_anchors": q_host_anchors,
+        "anchor_pairs": q_anchor_pairs,
         "pagerank": q_pagerank,
         "corpus_stats": q_corpus_stats,
         "text_analysis": q_text_analysis,
@@ -2766,6 +2802,7 @@ FROM documents GROUP BY 1
         "url_dedup": _oracle_url_dedup(),
         "host_graph": _oracle_host_graph(),
         "host_anchors": _oracle_host_anchors(),
+        "anchor_pairs": _oracle_anchor_pairs(),
         "pagerank": _oracle_pagerank(),
         "extract_links": """
 WITH d AS (

@@ -85,6 +85,7 @@ SUITE = (
     "extract_links",
     "host_graph",
     "host_anchors",
+    "anchor_pairs",
     "pagerank",
     "url_dedup",
     "line_dedup",
@@ -208,6 +209,30 @@ def main() -> None:
     parse_mb_per_sec = round(total_bytes / best / 1e6, 1)
     evidence["parse_rows"] = n_docs
     evidence["parse_errors"] = int(stats_box["stats"]["errors"])
+
+    # evidence: kernel-flag threading through the JOB layer — extract_pages
+    # full outputs vs the text-only profile (with_nodes_json=False,
+    # with_spans=False now reach the KERNEL, skipping ~40% serialization
+    # CPU, not just the projection). Best-of-2 each on the same corpus.
+    from tempeh_spark.pipeline import PipelineConfig, extract_pages
+
+    for tag, cfg in (
+        ("full", PipelineConfig(buckets=4 * CPUS)),
+        (
+            "text_only",
+            PipelineConfig(buckets=4 * CPUS, with_nodes_json=False, with_spans=False),
+        ),
+    ):
+        best_dt = None
+        for _ in range(2):
+            t_c = time.perf_counter()
+            extract_pages(corpus, cfg).agg(
+                F.count("*"), F.sum(F.length("text"))
+            ).first()
+            dt = time.perf_counter() - t_c
+            best_dt = dt if best_dt is None or dt < best_dt else best_dt
+        evidence[f"extract_pages_{tag}_sec"] = round(best_dt, 3)
+        evidence[f"extract_pages_{tag}_docs_per_sec"] = round(n_docs / best_dt, 1)
     corpus.unpersist()
 
     # ---- operator suite: per-query warm at sf0.001, then timed reps ----

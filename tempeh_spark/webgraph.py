@@ -166,6 +166,26 @@ def anchor_stats(
     partition bounded by the head of the term distribution."""
     from pyspark.sql.window import Window
 
+    counts = _anchor_term_counts(links, url_col, href_col, anchor_col, min_count)
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst_host", "term", "n", "rank")
+    )
+
+
+def _anchor_term_counts(
+    links: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    min_count: int = 1,
+) -> DataFrame:
+    """(dst_host, term, n): the shared tokenize+count substrate of
+    anchor_stats and anchor_pairs — one explode + one map-side-combinable
+    hash agg, predicate in codegen (explode-then-where, never an
+    interpreted higher-order filter on this corpus-scaling path)."""
     from tempeh_spark.textops import WS
 
     src = url_host(url_col)
@@ -173,9 +193,6 @@ def anchor_stats(
         links.where(F.col(href_col).isNotNull())
         .select(
             target_host(href_col, src).alias("dst_host"),
-            # explode-then-where, NOT F.filter(...) — a higher-order array
-            # lambda is interpreted per element and this path scales with
-            # corpus size; the post-explode predicate stays in codegen
             F.explode(
                 F.split(F.lower(F.col(anchor_col)), rf"[{WS}]+")
             ).alias("term"),
@@ -185,11 +202,47 @@ def anchor_stats(
     counts = terms.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
     if min_count > 1:
         counts = counts.where(F.col("n") >= min_count)
-    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return counts
+
+
+def anchor_pairs(
+    links: DataFrame,
+    k: int = 3,
+    url_col: str = "url",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    min_count: int = 1,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """The retrieval-training DELIVERABLE the anchor family produces:
+    one (query_term, dst_host) pair per top-``k`` anchor term per target
+    host, with an exact integer weight — ``weight_ppm = n * weight_scale
+    div host_total`` where ``host_total`` is the host's total counted
+    anchor-term occurrences (post ``min_count``). Integer division only,
+    so weights are bit-identical across engines/partitionings (the
+    pagerank_units discipline).
+
+    Physical shape: the ``_anchor_term_counts`` agg, then ONE window
+    exchange partitioned by dst_host computing both the per-host total
+    (unbounded sum) and the rank — no join back, no second shuffle. The
+    same ``min_count`` skew guard as anchor_stats bounds mega-host window
+    partitions at crawl scale."""
+    from pyspark.sql.window import Window
+
+    counts = _anchor_term_counts(links, url_col, href_col, anchor_col, min_count)
+    wp = Window.partitionBy("dst_host")
+    w = wp.orderBy(F.desc("n"), F.asc("term"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("host_total", F.sum("n").over(wp))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("dst_host", "term", "n", "rank")
+        .select(
+            F.col("term").alias("query_term"),
+            "dst_host",
+            "n",
+            F.expr(f"n * {weight_scale}L div host_total").alias("weight_ppm"),
+            "rank",
+        )
     )
 
 

@@ -106,6 +106,34 @@ def test_anchor_stats_topk_terms_per_target(spark):
     assert ("mailto", 1) not in [v[0] for v in out.values()]
 
 
+def test_anchor_pairs_exact_ppm_weights(spark):
+    """The retrieval-pairs deliverable: integer ppm weights over the
+    host's total counted anchor occurrences, rank-limited, bit-stable."""
+    from tempeh_spark.webgraph import anchor_pairs
+
+    links = spark.createDataFrame(
+        [
+            (1, "http://a.com/p", "http://b.com/x", "Great Site"),
+            (2, "http://a.com/q", "http://b.com/y", "great\tstuff"),
+            (3, "http://c.com/r", "//b.com/z", "great"),
+            (4, "http://c.com/r", "/self", "internal link"),
+        ],
+        "doc_id long, url string, href string, anchor string",
+    )
+    out = {
+        (r.dst_host, r.query_term): (r.n, r.weight_ppm, r.rank)
+        for r in anchor_pairs(links, k=2).collect()
+    }
+    # b.com totals: great 3 + site 1 + stuff 1 = 5 occurrences
+    assert out[("b.com", "great")] == (3, 3 * 1_000_000 // 5, 1)
+    assert out[("b.com", "site")] == (1, 1_000_000 // 5, 2)
+    # c.com: internal 1 + link 1 = 2; tie -> term asc
+    assert out[("c.com", "internal")] == (1, 500_000, 1)
+    assert out[("c.com", "link")] == (1, 500_000, 2)
+    # k=2 cut applied
+    assert ("b.com", "stuff") not in out
+
+
 def _star_edges(spark):
     # hub -> {s1, s2, s3}; every spoke -> hub; spoke self-loops must be
     # ignored by pagerank
