@@ -36,15 +36,16 @@ The cold run(s) are recorded per query as cold_first_run_sec /
 warm2_run_sec in the evidence file; the timed reps are steady-state —
 what every long-running executor sees after its first few tasks.
 
-dedup_decisions steady state (r5 reconciliation, see BENCH/PLANS.md §5):
-sf0.1 best ~4.7-5.5 s / sf0.01 ~2.4 s at 0%% steal after the r5 explode-
-mirror + union-find-fast-path + window-star-edges rework (the r4
-artifact's 7.7-9.0 s was honest for r4 code; the "2-2.7 s steady" older
-doc claim was the sf0.01-sized plan floor, not an sf0.1 measurement).
-Session-to-session JVM variance on this box is +/-30%%; the per-rep times
-in the evidence file are the ground truth. See BENCH/PLANS.md §JIT for
-the hugeMethodLimit/methodSplit investigation (rejected: -30-40%% on
-other queries).
+dedup_decisions steady state (r5 reconciliation; PLANS.md §5 +
+BENCH/dedup_variance_r05.json): after the r5 explode-mirror +
+union-find-fast-path + window-star-edges rework, a fresh JVM lands in a
+fast (~5.1-5.6 s best-of-3) or slow (~7.1-7.4 s) mode at sf0.1 and stays
+there — within-session reps tight, 0%% steal, independent of preceding
+work. Artifacts in 5-7.5 s are all honest; the per-rep evidence file
+disambiguates which mode this run drew. The r4-era "2-2.7 s steady" doc
+claim was the sf0.01-sized plan floor (~2.4 s), not an sf0.1 number. See
+BENCH/PLANS.md §JIT for the hugeMethodLimit/methodSplit investigation
+(rejected: -30-40%% on other queries).
 """
 
 from __future__ import annotations
