@@ -1935,6 +1935,25 @@ def q_text_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text->vector->decision pipeline leg in one gated query:
+    featurize (hashed-ngram embedding) -> exact cosine near-dup edges at
+    0.98 -> connected components -> per-doc (keeper, keep). The embedding
+    analogue of dedup_decisions, fed by engine-produced vectors; oracle is
+    the recursive-CTE transitive closure over the same edge set."""
+    from tempeh_spark.dedup import embedding_dedup_decisions
+    from tempeh_spark.featurize import text_embedding
+
+    vecs = text_embedding(_docs(spark, sf_dir)).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    return embedding_dedup_decisions(vecs, threshold=0.98).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"),
+        "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_text": q_parse_text,
@@ -1994,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embedding": q_text_embedding,
         "text_neardup": q_text_neardup,
         "text_kmeans": q_text_kmeans,
+        "text_dedup": q_text_dedup,
     }
 
 
@@ -2359,6 +2379,38 @@ e AS (SELECT doc_id AS vec_id, v FROM temb)
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b, {_COS} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS} >= 0.98
+"""
+
+
+def _oracle_text_dedup() -> str:
+    """Featurizer CTEs -> exact cosine pair set at 0.98 -> recursive-CTE
+    transitive closure -> every doc left-joined in (the dedup_decisions
+    oracle pattern over embedding-space edges)."""
+    return f"""
+WITH RECURSIVE {_text_emb_ctes().strip()},
+e AS (SELECT doc_id AS vec_id, v FROM temb),
+np AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS} >= 0.98
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM np
+  UNION
+  SELECT id_b, id_a FROM np
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+)
+SELECT documents.doc_id::BIGINT AS doc_id,
+       coalesce(comp.component, documents.doc_id)::BIGINT AS keeper,
+       (coalesce(comp.component, documents.doc_id) = documents.doc_id) AS keep
+FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
 """
 
 
@@ -2902,4 +2954,5 @@ GROUP BY 1
         "text_embedding": _oracle_text_embedding(),
         "text_neardup": _oracle_text_neardup(),
         "text_kmeans": _oracle_text_kmeans(),
+        "text_dedup": _oracle_text_dedup(),
     }

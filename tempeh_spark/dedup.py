@@ -698,6 +698,40 @@ def dedup_decisions(
     )
 
 
+def embedding_dedup_decisions(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_iter: int = 30,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space end-to-end dedup: (doc_id, keeper, keep) from
+    cosine-near-duplicate evidence — the vector-leg analogue of
+    ``dedup_decisions``, and the consumer that turns
+    ``featurize.text_embedding`` into keep/drop training-data decisions.
+
+    Default edge producer is the EXACT verifier ``embedding_near_pairs``
+    (all-pairs by design — gate/oracle scale). For crawl scale, pass
+    ``pairs=similarity.embedding_lsh_near_pairs(...)`` (banded candidates
+    + cosine verify, equi-join only) — the component/keeper machinery is
+    identical either way."""
+    if pairs is None:
+        pairs = embedding_near_pairs(vecs, id_col, vec_col, threshold)
+    comp = duplicate_components(pairs.select("id_a", "id_b"), max_iter=max_iter)
+    return (
+        vecs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+            (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -79,6 +79,30 @@ def test_flows_into_vector_operators(spark):
     assert pairs.get((1, 3), 0.0) < pairs[(1, 2)]
 
 
+def test_embedding_dedup_decisions(spark):
+    """Vector-leg dedup composition: near-dup docs collapse to the min-id
+    keeper; singletons keep themselves; injected scale-path pairs give the
+    same decisions as the default exact producer."""
+    from tempeh_spark.dedup import embedding_dedup_decisions, embedding_near_pairs
+    from tempeh_spark.featurize import text_embedding
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different text about engines and sparks")],
+        "doc_id long, text string",
+    )
+    vecs = text_embedding(df).select(F.col("id").alias("vec_id"), "embedding")
+    out = {r["doc_id"]: (r["keeper"], r["keep"])
+           for r in embedding_dedup_decisions(vecs, threshold=0.99).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (3, True)
+
+    injected = embedding_near_pairs(vecs, threshold=0.99)
+    out2 = {r["doc_id"]: (r["keeper"], r["keep"])
+            for r in embedding_dedup_decisions(vecs, pairs=injected).collect()}
+    assert out2 == out
+
+
 def test_max_chars_caps_counted_prefix(spark):
     from tempeh_spark.featurize import text_embedding
 
