@@ -116,6 +116,19 @@ def test_max_chars_caps_counted_prefix(spark):
     assert capped[1] == capped[2]
 
 
+def test_plan_shape_fully_codegen(spark):
+    """The featurizer must never fall to Python evaluation and must keep
+    its two-exchange shape (spread + one map-side-combinable agg); the
+    zero-vector join back must broadcast (PLANS.md §3 r5 audit)."""
+    from tempeh_spark.featurize import text_embedding
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = text_embedding(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_norm_is_exact_integer_sum(spark):
     """Hand-check one tiny doc: 'aaaa' -> shingles aaa,aaa -> one bucket
     count 2, norm sqrt(4)=2, component 1.0."""
