@@ -46,6 +46,12 @@ def text_embedding(
 
     Documents too short to shingle (normalized length < ngram) get the
     all-zeros vector — NOT dropped, so downstream joins see every doc.
+    Zero vectors never form cosine near-pairs downstream: both engines
+    null out the 0/0 cosine (Spark's NumPy NaN crosses Arrow as SQL NULL;
+    DuckDB division by zero is NULL) and NULL fails every threshold —
+    convergent behavior pinned by test_oracle_twins on docs 5/6. Empty-doc
+    deduplication is exact_dedup's job (identical digests), not the
+    embedding path's.
 
     ``max_chars`` caps the counted prefix for giant documents; per-bucket
     counts are then <= max_chars, keeping the exact-integer norm far from

@@ -61,8 +61,16 @@ TWINNED = [
     "url_dedup",
     "host_graph",
     "host_anchors",
+    "anchor_pairs",
     "pagerank",
     "training_pipeline",
+    # featurizer family: docs 5/6 produce the all-zeros vector (normalized
+    # length < ngram), probing the zero-norm cosine edge (NaN semantics
+    # must agree across engines) and the left-join zero-vector path
+    "text_embedding",
+    "text_neardup",
+    "text_kmeans",
+    "text_dedup",
 ]
 
 
