@@ -116,7 +116,9 @@ class InvalidCodePointError(Exception):
 class _Doc:
     """Per-document scan state shared by the sub-lexers."""
 
-    __slots__ = ("s", "n", "breaks", "eof_l", "eof_c", "surr", "oversized", "_ov_keys")
+    __slots__ = (
+        "s", "n", "breaks", "eof_l", "eof_c", "surr", "oversized", "_ov_keys", "_bi"
+    )
 
     def __init__(self, s: str, has_surrogates: bool, oversized: dict[int, int] | None = None):
         self.s = s
@@ -125,6 +127,7 @@ class _Doc:
         self.oversized = oversized
         self._ov_keys = sorted(oversized) if oversized else None
         self.breaks = [m.start() for m in _BRK_RX.finditer(s)]
+        self._bi = 0  # advancing cursor: == bisect_left(breaks, last queried i)
         nb = len(self.breaks)
         self.eof_l = nb + 1
         if self.n == 0:
@@ -137,11 +140,21 @@ class _Doc:
     def pos(self, i: int) -> tuple[int, int]:
         if i >= self.n:
             return self.eof_l, self.eof_c
-        nb = bisect_left(self.breaks, i)
+        # token positions are queried in near-monotonic order (small
+        # pushback only), so an advancing cursor replaces a bisect per
+        # call: amortized O(1), identical value (nb == bisect_left)
+        breaks = self.breaks
+        nb = self._bi
+        total = len(breaks)
+        while nb < total and breaks[nb] < i:
+            nb += 1
+        while nb > 0 and breaks[nb - 1] >= i:
+            nb -= 1
+        self._bi = nb
         if self.s[i] in "\n\x0b\x0c\r":
             # a line-break char reports at column 1 of the line it starts
             return nb + 2, 1
-        last = self.breaks[nb - 1] if nb else -1
+        last = breaks[nb - 1] if nb else -1
         return nb + 1, i - last
 
     def val(self, a: int, b: int) -> str:
