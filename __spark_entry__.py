@@ -2361,7 +2361,7 @@ twd AS (SELECT doc_id, {c_cols} FROM tbk GROUP BY doc_id),
 tvc AS (SELECT doc_id, [{comps}] AS v
         FROM (SELECT *, sqrt(({sumsq})::DOUBLE) AS l2 FROM twd)),
 temb AS (SELECT d.doc_id, coalesce(tvc.v, [{zeros}]) AS v
-         FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN tvc USING (doc_id))"""
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN tvc USING (doc_id))"""
 
 
 def _oracle_text_embedding() -> str:

@@ -481,7 +481,7 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
-    driver_edge_limit: int = 5_000_000,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, component)
     where component = min doc id reachable — the keeper-assignment step that
@@ -491,12 +491,15 @@ def duplicate_components(
     adaptive move AQE makes for join strategies — the logical result is
     identical either way):
 
-    * ``n_edges <= driver_edge_limit``: union-find on the driver. The dup
-      graph is already a corpus-scale REDUCTION (one row per verified
-      near-dup pair, distinct), and below the limit (~100 MB at 5M
-      symmetrized edges) a driver pass beats 2+ rounds of
-      join/agg/sync stages by seconds of pure scheduling latency. This is
-      a deliberate small-GRAPH fast path, not a small-corpus shortcut:
+    * ``0 < n_edges <= driver_edge_limit``: union-find on the driver. The
+      dup graph is already a corpus-scale REDUCTION (one row per verified
+      near-dup pair), and below the limit a driver pass beats 2+ rounds of
+      join/agg/sync stages by seconds of pure scheduling latency. Driver
+      memory at the 1M-edge default: the Arrow ``toPandas`` transfer is
+      two 1M-element columns (~16 MB for long ids) and the union-find
+      dict tops out at ~2M entries (a few hundred MB worst case) — sized
+      for a stock driver, NOT just this sandbox's 8g one. This is a
+      deliberate small-GRAPH fast path, not a small-corpus shortcut:
       the edge set it collects was produced by the fully distributed
       LSH/exact pipeline.
     * larger graphs: iterative min-label propagation — each round every
@@ -532,7 +535,9 @@ def duplicate_components(
     # shuffle entirely (the count is an upper bound on distinct edges,
     # which only makes the gate conservative)
     n_edges = raw.count()
-    if n_edges <= driver_edge_limit:
+    # strict > 0 on the limit so driver_edge_limit=0 genuinely forces the
+    # distributed loop even for an empty edge set (test/coverage contract)
+    if 0 < driver_edge_limit and n_edges <= driver_edge_limit:
         from pyspark.sql.types import StructField, StructType
 
         parent: dict = {}
@@ -543,11 +548,14 @@ def duplicate_components(
                 x = parent[x]
             return x
 
-        # one collect job, bounded by driver_edge_limit (~100 MB at 5M
-        # rows); toLocalIterator would schedule one sequential mini-job
-        # per partition
-        for row in raw.collect():
-            s, d = row[0], row[1]
+        # Arrow toPandas, ONE job: two flat columns (~16 MB at the 1M-edge
+        # limit for long ids) — collect() would build n_edges Row objects
+        # (GBs at the limit) and toLocalIterator schedules one sequential
+        # mini-job per partition
+        pdf = raw.toPandas()
+        # .tolist() yields plain Python scalars (numpy ints would leak into
+        # the union-find keys and the createDataFrame below)
+        for s, d in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -683,8 +691,14 @@ def dedup_decisions(
         .where(F.col("id") != F.col("keeper"))
         .select(F.col("keeper").alias("id_a"), F.col("id").alias("id_b"))
     )
-    comp = duplicate_components(near.unionByName(exact), max_iter=max_iter)
-    sh.unpersist()
+    # finally: the documented non-convergence RuntimeError from
+    # duplicate_components must not leak the persisted corpus-wide shingle
+    # table into a long-lived session (the cache-hygiene failure mode the
+    # prev_cached comment above warns about)
+    try:
+        comp = duplicate_components(near.unionByName(exact), max_iter=max_iter)
+    finally:
+        sh.unpersist()
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")

@@ -90,6 +90,11 @@ def text_embedding(
     emb = F.array(*[(F.col(f"c{k}").cast("double") / l2) for k in range(dim)])
     vecs = wide.select("id", emb.alias("embedding"))
     zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    # Join-back is per INPUT ROW (no distinct — that would add a corpus-
+    # wide shuffle just to guard a key-violation case): duplicate ids, a
+    # contract violation upstream, merge into one counted bag and each
+    # input row receives that same merged vector. The DuckDB twin joins
+    # the raw documents table the same way.
     return (
         df.select(F.col(id_col).alias("id"))
         .join(vecs, "id", "left")

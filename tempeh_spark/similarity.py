@@ -196,10 +196,12 @@ def ivf_multiprobe_topk(
             "query_id",
             "q_vec",
             "cell",
-            # rounded like every ranking in this module: F.avg centroids sum
-            # in shuffle order, so raw doubles differ in the last ulp across
-            # runs/engines — an unrounded sort key could flip the probe set
-            # at the n_probe boundary
+            # rounded like every ranking in this module. ivf_centroids is
+            # now exact fixed-point (order-independent), so today's inputs
+            # are bit-identical across runs/engines — but round(...,4) is
+            # part of the twinned output contract (the gate hashes and the
+            # oracle SQL both carry it) and keeps the probe set stable if a
+            # future centroid producer is ever not bit-exact. Do not drop.
             F.round(cosine(F.col("q_vec"), F.col("centroid")), 4).alias("cell_score"),
         )
         .withColumn("pr", F.row_number().over(probe_w))

@@ -116,6 +116,25 @@ def test_max_chars_caps_counted_prefix(spark):
     assert capped[1] == capped[2]
 
 
+def test_duplicate_ids_merge_then_fan_out(spark):
+    """Duplicate ids (a key-contract violation upstream) must behave
+    identically to the DuckDB twin: the bags merge into ONE vector and
+    the join-back emits it once per INPUT row — no distinct, no corpus
+    shuffle added to guard the case."""
+    from tempeh_spark.featurize import text_embedding
+
+    df = spark.createDataFrame(
+        [(1, "abcabcabc"), (1, "xyzxyzxyz"), (2, "abcabcabc")],
+        "doc_id long, text string",
+    )
+    rows = text_embedding(df).collect()
+    assert len(rows) == 3  # one per input row
+    ones = [list(r["embedding"]) for r in rows if r["id"] == 1]
+    two = [list(r["embedding"]) for r in rows if r["id"] == 2][0]
+    assert len(ones) == 2 and ones[0] == ones[1]  # same merged vector
+    assert ones[0] != two  # merged bag differs from the single-text bag
+
+
 def test_plan_shape_fully_codegen(spark):
     """The featurizer must never fall to Python evaluation and must keep
     its two-exchange shape (spread + one map-side-combinable agg); the
