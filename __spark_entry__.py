@@ -70,10 +70,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 documents -> HTML -> full extraction pipeline ->
     the training-data decision columns a 100 TB run would publish per doc
     (tokens/lang/quality from the extracted text, dedup keeper decision,
-    deterministic sample bucket)."""
+    topic cell from the engine's own text embedding, deterministic sample
+    bucket)."""
     from tempeh_spark import parse_html
+    from tempeh_spark.clustering import kmeans_assign
     from tempeh_spark.corpusops import hash_sample
     from tempeh_spark.dedup import dedup_decisions
+    from tempeh_spark.featurize import text_embedding
     from tempeh_spark.textops import lang_id, quality_score, token_count
 
     docs = _docs(spark, "/root/testdata/sf0.001")
@@ -104,8 +107,17 @@ def entry(spark: SparkSession) -> DataFrame:
     samp = hash_sample(docs, rate=0.9, salt="train").select(
         "doc_id", F.col("keep").alias("train_split")
     )
+    # the r5 vector leg: text -> hashed-ngram embedding -> topic cell
+    # (nearest centroid of the deterministic gate codebook)
+    vecs = text_embedding(docs).select(F.col("id").alias("vec_id"), "embedding")
+    topics = kmeans_assign(vecs, _gate_centroids()).select(
+        F.col("vec_id").alias("doc_id"), F.col("cell").alias("topic_cell")
+    )
     return (
-        extracted.join(dd, "doc_id").join(samp, "doc_id").drop("doc_id")
+        extracted.join(dd, "doc_id")
+        .join(samp, "doc_id")
+        .join(topics, "doc_id")
+        .drop("doc_id")
     )
 
 
