@@ -116,6 +116,26 @@ def test_max_chars_caps_counted_prefix(spark):
     assert capped[1] == capped[2]
 
 
+def test_pathological_inputs_survive(spark):
+    """CLAUDE.md invariant: NUL bytes, astral/control chars, huge docs and
+    even a lone surrogate must flow through the featurizer without error,
+    each producing a unit-norm vector."""
+    from tempeh_spark.featurize import text_embedding
+
+    rows = [
+        (1, "x" * 200_000),
+        (2, "nul\x00byte\x00text here"),
+        (3, "emoji \U0001F600 astral \U0001D11E chars"),
+        (4, "control \x01\x02\x03 chars"),
+        (5, "bad \ud800 surrogate"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: list(r["embedding"]) for r in text_embedding(df).collect()}
+    assert len(out) == 5
+    for i, v in out.items():
+        assert len(v) == 64 and abs(sum(x * x for x in v) - 1.0) < 1e-9, i
+
+
 def test_duplicate_ids_merge_then_fan_out(spark):
     """Duplicate ids (a key-contract violation upstream) must behave
     identically to the DuckDB twin: the bags merge into ONE vector and
