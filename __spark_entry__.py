@@ -937,7 +937,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.textops import WS
 
     docs = _docs(spark, sf_dir)
-    toks = F.size(F.filter(F.split("text", rf"[{WS}]+"), lambda x: x != F.lit("")))
+    # array_remove not F.filter-lambda: codegen, same ""-token drop semantics
+    toks = F.size(F.array_remove(F.split("text", rf"[{WS}]+"), ""))
     base = docs.select(F.col("n_chars").cast("double").alias("c"), toks.cast("double").alias("t"))
     # mean via exact BIGINT sum / count — NEVER round(avg(double)) (CLAUDE.md
     # float rule): n_chars is integer-valued so the sum is exact, and the one

@@ -30,9 +30,14 @@ from pyspark.sql.window import Window
 from tempeh_spark.textops import WS
 
 
-def _words(text_col: str):
-    # explicit whitespace class, not \s: see textops.WS (Java-vs-RE2 \x0B)
-    return F.filter(F.split(F.col(text_col), rf"[{WS}]+"), lambda x: x != F.lit(""))
+def _words(text_col: str, lower: bool = False):
+    # explicit whitespace class, not \s: see textops.WS (Java-vs-RE2 \x0B).
+    # array_remove, not F.filter(..., lambda): the higher-order filter runs
+    # an interpreted per-element lambda (the CLAUDE.md corpus-path ban);
+    # array_remove is a plain codegen collection op and drops the same ""
+    # tokens (leading/trailing/runs of WS), preserving order and NULL->NULL.
+    col = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    return F.array_remove(F.split(col, rf"[{WS}]+"), "")
 
 
 def segment_dedup(
@@ -204,7 +209,7 @@ def word_shingle_rows(
     substrate. Words split on whitespace, lowercased; docs shorter than
     ``ngram`` words yield no shingles (explicit filter — Spark sequences
     run DESCENDING when end < start, which would fabricate rows)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), rf"[{WS}]+"), lambda x: x != F.lit(""))
+    words = _words(text_col, lower=True)
     base = df.select(F.col(id_col).alias("id"), words.alias("ws"))
     pos = base.where(F.size("ws") >= ngram).select(
         "id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - (ngram - 1))).alias("i")

@@ -380,7 +380,7 @@ def simhash16(text_col: str = "text") -> Column:
     hash, per-bit +-1 vote, sign -> bit. Column form (interpreted
     higher-order functions — fine per-row, use simhash16_table at scale)."""
     norm = normalize_text(text_col)
-    toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    toks = F.array_remove(F.split(norm, " "), "")
     tok_hash = lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 4), 16, 10).cast(
         "int"
     )
@@ -518,8 +518,13 @@ def duplicate_components(
     # row. The self-union form (pairs UNION pairs-swapped) executes the
     # whole upstream pair-producer subtree TWICE — for dedup_decisions that
     # is the full LSH candidate+verify pipeline, measured +2 s at sf0.1.
+    # NULL-id edges are malformed evidence: drop them BEFORE mirroring so
+    # both strategies see the same graph (the driver union-find would raise
+    # TypeError on a None compare; the distributed loop would silently emit
+    # the null-paired vertex as a singleton — neither is useful).
     raw = (
-        pairs.select(
+        pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
@@ -530,10 +535,12 @@ def duplicate_components(
         .select("e.s", "e.d")
         .persist()
     )
-    # the strategy gate counts PRE-distinct mirrored rows — union-find is
+    # the strategy gate counts PRE-distinct MIRRORED rows — union-find is
     # idempotent to duplicate edges, so the fast path skips the distinct's
-    # shuffle entirely (the count is an upper bound on distinct edges,
-    # which only makes the gate conservative)
+    # shuffle entirely. Mirroring doubles every pair, so the effective gate
+    # is <= driver_edge_limit/2 DISTINCT input pairs (fewer if the input
+    # repeats pairs); a deliberately conservative bound — overshooting only
+    # routes a borderline graph to the always-correct distributed loop.
     n_edges = raw.count()
     # strict > 0 on the limit so driver_edge_limit=0 genuinely forces the
     # distributed loop even for an empty edge set (test/coverage contract)
@@ -551,7 +558,8 @@ def duplicate_components(
         # Arrow toPandas, ONE job: two flat columns (~16 MB at the 1M-edge
         # limit for long ids) — collect() would build n_edges Row objects
         # (GBs at the limit) and toLocalIterator schedules one sequential
-        # mini-job per partition
+        # mini-job per partition. raw is already NULL-free (filtered at
+        # construction), so the rd < rs compares below are always valid.
         pdf = raw.toPandas()
         # .tolist() yields plain Python scalars (numpy ints would leak into
         # the union-find keys and the createDataFrame below)

@@ -142,14 +142,26 @@ class _Doc:
             return self.eof_l, self.eof_c
         # token positions are queried in near-monotonic order (small
         # pushback only), so an advancing cursor replaces a bisect per
-        # call: amortized O(1), identical value (nb == bisect_left)
+        # call: amortized O(1), identical value (nb == bisect_left). A
+        # pathological far jump (>32 breaks either way) falls back to one
+        # bisect_left so the worst case stays O(log n) per call, not O(n).
         breaks = self.breaks
         nb = self._bi
         total = len(breaks)
+        budget = 32
         while nb < total and breaks[nb] < i:
             nb += 1
-        while nb > 0 and breaks[nb - 1] >= i:
-            nb -= 1
+            budget -= 1
+            if not budget:
+                nb = bisect_left(breaks, i)
+                break
+        else:
+            while nb > 0 and breaks[nb - 1] >= i:
+                nb -= 1
+                budget -= 1
+                if not budget:
+                    nb = bisect_left(breaks, i)
+                    break
         self._bi = nb
         if self.s[i] in "\n\x0b\x0c\r":
             # a line-break char reports at column 1 of the line it starts

@@ -439,3 +439,17 @@ def test_kmeans_fit_and_assign(spark):
     )
     out = ivf_topk(labeled, labeled.where(F.col("vec_id") < 3), k=5)
     assert out.count() == 15
+
+
+def test_duplicate_components_null_ids(spark):
+    """NULL-id pairs are malformed evidence: dropped before mirroring, so
+    BOTH physical strategies agree — no TypeError in the driver union-find
+    and no phantom singleton from the distributed loop."""
+    from tempeh_spark.dedup import duplicate_components
+
+    pairs = [(1, 2), (2, 3), (None, 7), (8, None), (None, None), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    for limit in (5_000_000, 0):  # fast path, then forced distributed loop
+        rows = duplicate_components(df, driver_edge_limit=limit).collect()
+        comp = {r["doc_id"]: r["component"] for r in rows}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}, limit  # 7/8/None absent

@@ -160,3 +160,35 @@ def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
         .collect()
     }
     assert out == batch
+
+
+def test_stream_file_source_metachar_filename(spark, tmp_path):
+    """A single-FILE stream source filters its parent dir by basename used
+    as a GLOB: metacharacters in the file name (']', '[', '\\') must be
+    escaped or the stream silently matches nothing. A decoy sibling file
+    pins that the escaped pattern matches ONLY the named file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tempeh_spark.streaming import _stream_file_source
+
+    target = tmp_path / "ev]x[1].parquet"
+    pq.write_table(pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}), str(target))
+    pq.write_table(pa.table({"doc_id": [9] * 5, "text": ["z"] * 5}), str(tmp_path / "decoy.parquet"))
+
+    # schema from the plain-named sibling: batch .parquet() also globs, so
+    # the metachar path itself is unreadable without the same escaping
+    schema = spark.read.parquet(str(tmp_path / "decoy.parquet")).schema
+    q = (
+        _stream_file_source(spark, str(target), schema)
+        .writeStream.format("memory")
+        .queryName("mc_glob_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.table("mc_glob_test")
+    assert out.count() == 3  # the bug's failure mode is 0 (no match)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}  # and never the decoy's 9s
+    spark.catalog.dropTempView("mc_glob_test")

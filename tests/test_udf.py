@@ -121,3 +121,29 @@ def test_plan_is_arrow_eval(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+
+def test_doc_pos_pathological_pushback_matches_bisect():
+    """_Doc.pos uses an advancing cursor (amortized O(1) for the tokenizer's
+    near-monotonic queries) with a bisect fallback for far jumps; on a fully
+    adversarial query order over many line breaks it must stay value-equal
+    to the bisect_left definition (and not degrade to O(n) per call)."""
+    from bisect import bisect_left
+
+    from tempeh_spark.tokenizer import _Doc
+
+    s = "ab\n" * 5000  # 5000 line breaks
+    doc = _Doc(s, has_surrogates=False)
+    n = len(s)
+    # worst case: alternate between the two ends, plus some mid jumps
+    queries = []
+    for k in range(0, 2500, 7):
+        queries += [3 * k, n - 1 - 3 * k, n // 2 + k]
+    for i in queries:
+        got = doc.pos(i)
+        nb = bisect_left(doc.breaks, i)
+        if s[i] in "\n\x0b\x0c\r":
+            want = (nb + 2, 1)
+        else:
+            want = (nb + 1, i - (doc.breaks[nb - 1] if nb else -1))
+        assert got == want, (i, got, want)
