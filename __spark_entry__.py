@@ -1967,6 +1967,118 @@ def q_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL LLM-data-pipeline keep/drop story in one value-twinned
+    query: every duplicate-evidence family the engine produces — exact
+    normalized-digest star edges, verified minhash-LSH near-dup pairs, and
+    embedding-cosine near-dup pairs over the engine's own text featurizer —
+    unioned into ONE connected-component pass, then one (doc_id, keeper,
+    keep) row per document. Per-family decisions can disagree (a doc can be
+    a minhash keeper but an embedding dup); the single component pass makes
+    the final call consistent by construction.
+
+    Scale shape: all three producers are bucketed equi-joins or one wide
+    hash agg (the gate's exact cosine verifier swaps for
+    ``similarity.embedding_lsh_near_pairs`` at crawl scale via the same
+    ``(id_a, id_b)`` contract), the union feeds duplicate_components'
+    measured-size strategy gate, and the final assignment is one left join.
+    Oracle = recursive-CTE transitive closure over the identical
+    three-family edge set."""
+    from tempeh_spark.dedup import dedup_decisions, embedding_near_pairs
+    from tempeh_spark.featurize import text_embedding
+
+    docs = _docs(spark, sf_dir)
+    vecs = text_embedding(docs).select(F.col("id").alias("vec_id"), "embedding")
+    emb_pairs = embedding_near_pairs(vecs, threshold=0.98).select("id_a", "id_b")
+    return dedup_decisions(
+        docs, num_perm=16, bands=4, ngram=8, verify_threshold=0.3, max_chars=300,
+        extra_pairs=emb_pairs,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"),
+        "keep",
+    )
+
+
+# Recall floors for ANN over the engine's OWN text embeddings (hashed
+# 3-gram vectors are much spikier than the smooth fixture vectors, so the
+# floors are pinned separately). Pinned BELOW the minimum measured across
+# sf0.001/0.01/0.1 — see the measurement table in the q_text_ann docstring.
+_TEXT_ANN_FLOORS: dict[str, float] = {
+    "text_ivf": 0.50,
+    "text_ivf_probe": 0.90,
+}
+
+
+def q_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval over the engine's OWN text embeddings — the last
+    vector-family leg to move off fixture vectors: featurize (hashed-ngram
+    embedding) -> k-means cell assignment (the text_kmeans codebook) ->
+    IVF top-k (own-cell and 3-probe), recall measured against brute-force
+    cosine ground truth over the same vectors, floor-pinned as a literal
+    oracle (the ann_recall_floor pattern).
+
+    Measured recalls at the gate parameters (k=10, 5 queries, 2026-08-17):
+    sf0.001 ivf 0.94 / probe 1.00; sf0.01 ivf 0.60 / probe 1.00;
+    sf0.1 ivf 0.80 / probe 1.00. Far above the fixture-vector family
+    (hashed 3-gram embeddings cluster tightly by topic, so the query's own
+    cell holds most true neighbors); floors pinned below every measured
+    point (0.50 / 0.90) while still tripping real regressions — dropping
+    n_probe to 1 lands probe at the ivf line, under 0.90 at sf0.01/0.1.
+
+    Scale shape: featurizer is ONE wide map-side-combinable agg; assignment
+    is a broadcast-closure Arrow pass (no shuffle); IVF search streams the
+    corpus through one equi-join on cell with queries/centroids broadcast.
+    The two lazy localCheckpoints below materialize the corpus-wide
+    featurizer + labeling ONCE for their four consumers (the branch-fanout
+    trap: each consumer would otherwise re-run the whole producer subtree)."""
+    from tempeh_spark.clustering import kmeans_assign
+    from tempeh_spark.featurize import text_embedding
+    from tempeh_spark.similarity import brute_topk, ivf_multiprobe_topk, ivf_topk
+
+    vecs = (
+        text_embedding(_docs(spark, sf_dir))
+        .select(F.col("id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=False)
+    )
+    labeled = (
+        vecs.join(
+            kmeans_assign(vecs, _gate_centroids()).select(
+                "vec_id", F.col("cell").alias("label")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = labeled.where(F.col("vec_id") < 5)
+    brute = brute_topk(labeled, q, k=10).select("query_id", "nbr_id")
+    ivf = ivf_topk(labeled, q, k=10).select("query_id", "nbr_id")
+    probe = ivf_multiprobe_topk(labeled, q, k=10, n_probe=3).select(
+        "query_id", "nbr_id"
+    )
+
+    def one(method: str, cand: DataFrame) -> DataFrame:
+        hits = cand.join(brute, ["query_id", "nbr_id"], "inner").agg(
+            F.count("*").alias("n_hits")
+        )
+        true = brute.agg(F.count("*").alias("n_true"))
+        return hits.crossJoin(true).select(
+            F.lit(method).alias("method"),
+            F.round(F.lit(_TEXT_ANN_FLOORS[method]), 2).alias("floor"),
+            ((F.col("n_hits") / F.col("n_true")) >= F.lit(_TEXT_ANN_FLOORS[method])).alias("ok"),
+        )
+
+    return one("text_ivf", ivf).unionByName(one("text_ivf_probe", probe))
+
+
+def _oracle_text_ann() -> str:
+    # same literal-floor twin shape as ann_recall_floor: DOUBLE cast keeps
+    # DuckDB from typing the VALUES literal as DECIMAL ('0.30' text form)
+    rows = [(m, f, True) for m, f in sorted(_TEXT_ANN_FLOORS.items())]
+    inner = _values_sql(rows, ["method", "floor", "ok"])
+    return f"SELECT method, floor::DOUBLE AS floor, ok FROM ({inner}) v"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered least-driver-verified FIRST: the per-round driver gate samples
     # the head of this dict (CORRECTNESS_r04/r05 rows == the first 50 entries,
@@ -1982,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_neardup": q_text_neardup,
         "text_kmeans": q_text_kmeans,
         "text_dedup": q_text_dedup,
+        "pipeline_decisions": q_pipeline_decisions,
+        "text_ann": q_text_ann,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "media_dims": q_media_dims,
@@ -2422,6 +2536,50 @@ np AS (
 ),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM np
+  UNION
+  SELECT id_b, id_a FROM np
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+)
+SELECT documents.doc_id::BIGINT AS doc_id,
+       coalesce(comp.component, documents.doc_id)::BIGINT AS keeper,
+       (coalesce(comp.component, documents.doc_id) = documents.doc_id) AS keep
+FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
+"""
+
+
+def _oracle_pipeline_decisions() -> str:
+    """Recursive-CTE transitive closure over ALL THREE duplicate-evidence
+    families — exact-digest cliques (equivalent to the Spark side's star
+    edges by construction), verified minhash-LSH pairs, and embedding
+    cosine near-dup pairs over the featurizer twin — then every document
+    left-joined in."""
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes().strip()},
+{_text_emb_ctes().strip()},
+dig AS (
+  SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS g FROM documents
+),
+e AS (SELECT doc_id AS vec_id, v FROM temb),
+np AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS} >= 0.98
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+  UNION
+  SELECT a.doc_id, b.doc_id FROM dig a JOIN dig b ON a.g = b.g AND a.doc_id <> b.doc_id
+  UNION
+  SELECT id_a, id_b FROM np
   UNION
   SELECT id_b, id_a FROM np
 ),
@@ -2981,4 +3139,6 @@ GROUP BY 1
         "text_neardup": _oracle_text_neardup(),
         "text_kmeans": _oracle_text_kmeans(),
         "text_dedup": _oracle_text_dedup(),
+        "pipeline_decisions": _oracle_pipeline_decisions(),
+        "text_ann": _oracle_text_ann(),
     }

@@ -655,6 +655,7 @@ def dedup_decisions(
     verify_threshold: float = 0.4,
     max_chars: int | None = None,
     max_iter: int = 30,
+    extra_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end dedup deliverable a training-data pipeline consumes:
     one row per input document — ``(doc_id, keeper, keep)``.
@@ -663,7 +664,12 @@ def dedup_decisions(
 
     1. edges = EXACT duplicate pairs (same normalized-text digest — star
        edges to the group min; catches documents too short to shingle)
-       UNION verified minhash-LSH near-dup pairs;
+       UNION verified minhash-LSH near-dup pairs
+       UNION ``extra_pairs`` if given — any further dup-evidence family
+       as ``(id_a, id_b)`` rows (e.g. embedding-cosine near-dups from
+       ``embedding_near_pairs`` / ``similarity.embedding_lsh_near_pairs``),
+       so ALL evidence feeds ONE component pass instead of per-family
+       keep/drop votes that can disagree;
     2. connected components over the union (min-label propagation);
     3. keeper = min doc id of the component; singletons keep themselves;
        ``keep = (doc_id == keeper)``.
@@ -703,8 +709,11 @@ def dedup_decisions(
     # duplicate_components must not leak the persisted corpus-wide shingle
     # table into a long-lived session (the cache-hygiene failure mode the
     # prev_cached comment above warns about)
+    edges = near.unionByName(exact)
+    if extra_pairs is not None:
+        edges = edges.unionByName(extra_pairs.select("id_a", "id_b"))
     try:
-        comp = duplicate_components(near.unionByName(exact), max_iter=max_iter)
+        comp = duplicate_components(edges, max_iter=max_iter)
     finally:
         sh.unpersist()
     return (

@@ -453,3 +453,34 @@ def test_duplicate_components_null_ids(spark):
         rows = duplicate_components(df, driver_edge_limit=limit).collect()
         comp = {r["doc_id"]: r["component"] for r in rows}
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}, limit  # 7/8/None absent
+
+
+def test_dedup_decisions_extra_pairs_union(spark):
+    """pipeline_decisions contract: an extra_pairs edge family (embedding
+    evidence) must merge into the SAME single component pass as exact +
+    minhash edges — a chain linked only through the extra family still
+    collapses to one keeper."""
+    from tempeh_spark.dedup import dedup_decisions
+
+    rows = [
+        (1, "alpha beta gamma delta " * 40),       # near-dup of 2 (shingles)
+        (2, "alpha beta gamma delta " * 40 + "x"),
+        (3, "totally different text " * 40),
+        (4, "unrelated content here " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r["doc_id"]: r["keeper"]
+        for r in dedup_decisions(df, num_perm=8, bands=4, ngram=4, verify_threshold=0.3).collect()
+    }
+    assert base[1] == base[2] == 1 and base[3] == 3 and base[4] == 4
+
+    # embedding evidence bridges 2-3 and 3-4: everything collapses to keeper 1
+    extra = spark.createDataFrame([(2, 3), (3, 4)], "id_a long, id_b long")
+    merged = {
+        r["doc_id"]: (r["keeper"], r["keep"])
+        for r in dedup_decisions(
+            df, num_perm=8, bands=4, ngram=4, verify_threshold=0.3, extra_pairs=extra
+        ).collect()
+    }
+    assert merged == {1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False)}
