@@ -2085,7 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in order), so gates that have never (or rarely) had a driver-verified
     # CORRECTNESS row must sort into the sampled set.  The tail holds gates
     # with 5 consecutive green driver rounds whose semantics are unchanged;
-    # they remain covered by the 58-gate local rehearsal
+    # they remain covered by the full-gate local rehearsal
     # (tools/check_oracles.py) and the pytest suite every session.
     return {
         # -- never / least driver-verified (r5 gap: the whole text_* family,

@@ -41,7 +41,9 @@ BENCH/dedup_variance_r05.json): after the r5 explode-mirror +
 union-find-fast-path + window-star-edges rework, a fresh JVM lands in a
 fast (~5.1-5.6 s best-of-3) or slow (~7.1-7.4 s) mode at sf0.1 and stays
 there — within-session reps tight, 0%% steal, independent of preceding
-work. Artifacts in 5-7.5 s are all honest; the per-rep evidence file
+work. Artifacts in ~4.3-7.5 s are all honest (the second untimed at-scale
+warm run for JIT_HEAVY shapes can land the artifact below the variance
+study's fast mode — r5 recorded 4.31-4.95 s); the per-rep evidence file
 disambiguates which mode this run drew. The r4-era "2-2.7 s steady" doc
 claim was the sf0.01-sized plan floor (~2.4 s), not an sf0.1 number. See
 BENCH/PLANS.md §JIT for the hugeMethodLimit/methodSplit investigation
@@ -78,6 +80,7 @@ SUITE = (
     "pdf_extract",
     "minhash_lsh",
     "dedup_decisions",
+    "pipeline_decisions",
     "simhash",
     "simhash_pairs",
     "simhash60_pairs",
@@ -131,11 +134,23 @@ def _read_steal() -> tuple[int, int]:
         return 0, 0
 
 
-def _timed_best(fn, reps: int = REPS) -> tuple[float, float, list[float]]:
-    """(best_seconds, steal_pct_during_best_rep, all_rep_seconds)."""
+def _timed_best(
+    fn, reps: int = REPS, max_extra: int = 0, steal_ok: float = 1.0
+) -> tuple[float, float, list[float], list[float]]:
+    """(best_seconds, steal_pct_during_best_rep, rep_seconds, rep_steals).
+
+    With ``max_extra > 0``, keeps running extra reps while the best rep's
+    steal exceeds ``steal_ok`` — host steal only ever SLOWS a rep, so a
+    stolen best understates throughput (the r5 parse_extract artifact
+    recorded 2.91 s at 4.1%% steal while the same-round clean sweep showed
+    the kernel faster than r4); the retry hunts for one clean observation
+    instead of publishing a contaminated headline."""
     best = best_steal = None
     times: list[float] = []
-    for _ in range(reps):
+    steals: list[float] = []
+    n = 0
+    while True:
+        n += 1
         s0, t0 = _read_steal()
         t = time.perf_counter()
         fn()
@@ -143,9 +158,12 @@ def _timed_best(fn, reps: int = REPS) -> tuple[float, float, list[float]]:
         s1, t1 = _read_steal()
         steal = 100.0 * (s1 - s0) / max(1, t1 - t0)
         times.append(round(dt, 3))
+        steals.append(round(steal, 1))
         if best is None or dt < best:
             best, best_steal = dt, steal
-    return best, best_steal, times
+        if n >= reps and (best_steal <= steal_ok or n >= reps + max_extra):
+            break
+    return best, best_steal, times, steals
 
 
 def main() -> None:
@@ -162,6 +180,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     steals: dict[str, float] = {}
     reps_log: dict[str, list[float]] = {}
+    rep_steals_log: dict[str, list[float]] = {}
     evidence: dict[str, object] = {}
 
     run_steal0 = _read_steal()
@@ -202,10 +221,14 @@ def main() -> None:
     def parse_once():
         stats_box["stats"] = run_parse()
 
-    best, steal, reps = _timed_best(parse_once)
+    # headline gets steal-aware retries: up to 4 extra reps hunting for a
+    # <=1%-steal best (r5 lesson — the artifact of record must not carry a
+    # stolen headline when the kernel itself got faster)
+    best, steal, reps, rsteals = _timed_best(parse_once, max_extra=4)
     timings["parse_extract"] = round(best, 3)
     steals["parse_extract"] = round(steal, 1)
     reps_log["parse_extract"] = reps
+    rep_steals_log["parse_extract"] = rsteals
     parse_docs_per_sec = round(n_docs / best, 1)
     parse_mb_per_sec = round(total_bytes / best / 1e6, 1)
     evidence["parse_rows"] = n_docs
@@ -243,7 +266,7 @@ def main() -> None:
     warm2_runs: dict[str, float] = {}
     # shapes whose generated code is too large for one tier-up pass (r4:
     # minhash_lsh timed reps 8.0/4.6/4.0 after ONE at-scale warm run)
-    jit_heavy = {"minhash_lsh", "dedup_decisions"}
+    jit_heavy = {"minhash_lsh", "dedup_decisions", "pipeline_decisions"}
     for name in SUITE:
         qs[name](spark, WARM_DIR).count()  # compile THIS shape only
         t_c = time.perf_counter()  # C2 tier-up run at scale, recorded not timed
@@ -258,10 +281,11 @@ def main() -> None:
         def run_q(name=name):
             rows_box["n"] = qs[name](spark, SF_DIR).count()
 
-        best, steal, reps = _timed_best(run_q)
+        best, steal, reps, rsteals = _timed_best(run_q)
         timings[name] = round(best, 3)
         steals[name] = round(steal, 1)
         reps_log[name] = reps
+        rep_steals_log[name] = rsteals
         evidence[f"{name}_rows"] = rows_box["n"]
     evidence["suite_warm_and_timed_sec"] = round(time.perf_counter() - t_w, 3)
 
@@ -281,6 +305,7 @@ def main() -> None:
         {
             "steal_pct_at_best": steals,
             "query_reps_sec": reps_log,
+            "query_rep_steal_pct": rep_steals_log,
             "cold_first_run_sec": cold_runs,
             "warm2_run_sec": warm2_runs,
             "reps": REPS,
