@@ -2079,6 +2079,112 @@ def _oracle_text_ann() -> str:
     return f"SELECT method, floor::DOUBLE AS floor, ok FROM ({inner}) v"
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct counts via the deterministic HyperLogLog sketch
+    (corpusops.hll_distinct) next to the exact answers it approximates.
+
+    Two legs on purpose: the 4-gram shingle vocabulary (thousands of
+    distincts per source — the raw bias-corrected estimator path) and the
+    language set (4-5 distincts — the small-range linear-counting branch).
+    The shingle leg feeds RAW gram rows straight into the sketch with no
+    ``distinct`` anywhere: at corpus scale that is the whole point — the
+    only shuffle over data rows is the map-side-combined
+    (source, register) agg, bounded at 256 rows per source per mapper."""
+    from tempeh_spark.corpusops import hll_distinct
+    from tempeh_spark.textops import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("source", normalize_text("text").alias("t"))
+    grams = (
+        base.where(F.length("t") >= 4)
+        .select(
+            "source",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - 3)).alias("i"),
+        )
+        .select("source", F.expr("substring(t, i, 4)").alias("g"))
+    )
+    sh_h = hll_distinct(grams, "g", ("source",), p=8, w=20).withColumnRenamed(
+        "hll_distinct", "hll_shingles"
+    )
+    sh_e = grams.groupBy("source").agg(
+        F.count_distinct("g").alias("exact_shingles")
+    )
+    lg_h = hll_distinct(
+        docs.select("source", "lang"), "lang", ("source",), p=8, w=20
+    ).withColumnRenamed("hll_distinct", "hll_langs")
+    lg_e = docs.groupBy("source").agg(F.count_distinct("lang").alias("exact_langs"))
+    return (
+        sh_e.join(sh_h, "source")
+        .join(lg_e, "source")
+        .join(lg_h, "source")
+        .select(
+            "source", "exact_shingles", "hll_shingles", "exact_langs", "hll_langs"
+        )
+    )
+
+
+def _oracle_hll_distinct() -> str:
+    # Twin of corpusops.hll_distinct at p=8 (m=256, 2 hex digits), w=20
+    # (5 hex digits). All constants come from the SAME hll_constants()
+    # call the Spark side uses: one shared double literal for the
+    # bias-corrected numerator (single IEEE division per group on both
+    # engines) and a pre-rounded integer linear-counting table (no
+    # cross-engine ln). bin() renders unpadded in both engines, so
+    # rank = 21 - length(bin(v)).
+    from tempeh_spark.corpusops import hll_constants
+
+    scale, linc = hll_constants(8, 20)
+    linc_sql = "[" + ", ".join(str(x) for x in linc) + "]"
+    est = f"floor({scale!r} / (s_units::DOUBLE))::BIGINT"
+
+    def leg(tag: str, items: str) -> str:
+        return f"""
+{tag}_regs AS (
+  SELECT source,
+         ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+         CASE WHEN v = 0 THEN 21 ELSE 21 - length(bin(v)) END AS rank
+  FROM (SELECT source, md5(g) AS h,
+               ('0x' || substr(md5(g), 3, 5))::BIGINT AS v
+        FROM {tag}_items WHERE g IS NOT NULL)
+),
+{tag}_mx AS (SELECT source, reg, max(rank) AS mx FROM {tag}_regs GROUP BY source, reg),
+{tag}_est AS (
+  SELECT source,
+         CASE WHEN (256 - n_seen) > 0 AND {est} <= 640
+              THEN ({linc_sql})[(256 - n_seen)::INT]::BIGINT
+              ELSE {est} END AS hll
+  FROM (SELECT source,
+               sum(1::BIGINT << (20 - mx)) + (256 - count(*)) * 1048576 AS s_units,
+               count(*) AS n_seen
+        FROM {tag}_mx GROUP BY source))"""
+
+    return f"""
+WITH sh_items AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+                               i -> substring(t, i, 4))) AS g
+  FROM (SELECT source, {NORM_SQL.format(c='text')} AS t FROM documents)
+),
+lg_items AS (SELECT source, lang AS g FROM documents),
+{leg('sh', 'sh_items')},
+{leg('lg', 'lg_items')},
+sh_exact AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_shingles
+             FROM sh_items GROUP BY source),
+lg_exact AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_langs
+             FROM lg_items WHERE g IS NOT NULL GROUP BY source)
+SELECT se.source AS source,
+       se.exact_shingles,
+       sh_est.hll AS hll_shingles,
+       lg_exact.exact_langs,
+       lg_est.hll AS hll_langs
+FROM sh_exact se
+JOIN sh_est USING (source)
+JOIN lg_exact USING (source)
+JOIN lg_est USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered least-driver-verified FIRST: the per-round driver gate samples
     # the head of this dict (CORRECTNESS_r04/r05 rows == the first 50 entries,
@@ -2090,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least driver-verified (r5 gap: the whole text_* family,
         #    media_*, nation_revenue) + this round's new gates --
+        "hll_distinct": q_hll_distinct,
         "text_embedding": q_text_embedding,
         "text_neardup": q_text_neardup,
         "text_kmeans": q_text_kmeans,
@@ -2996,6 +3103,7 @@ FROM canon c JOIN keepers k USING (canon_url)
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_distinct": _oracle_hll_distinct(),
         "parse_text": _oracle_parse_text(),
         "parse_nodes": _oracle_parse_nodes(),
         "parse_casing_upper": _oracle_parse_casing_upper(),

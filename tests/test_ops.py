@@ -484,3 +484,52 @@ def test_dedup_decisions_extra_pairs_union(spark):
         ).collect()
     }
     assert merged == {1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False)}
+
+
+def test_hll_distinct_small_range_is_near_exact(spark):
+    # 5 distinct items repeated many times: V = 256 - n_seen is large, the
+    # linear-counting branch fires and (absent register collisions among 5
+    # hashes) reproduces the exact count.
+    from tempeh_spark.corpusops import hll_distinct
+
+    rows = [("g1", f"item{i % 5}") for i in range(200)] + [("g1", None)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = hll_distinct(df, "item", ("grp",)).collect()
+    assert len(out) == 1
+    # hashing 5 items into 256 registers collides with prob ~4%; accept the
+    # honest sketch answer of 4 if it does, but never over-count or miss more
+    assert out[0]["hll_distinct"] in (4, 5)
+
+
+def test_hll_distinct_estimate_and_order_independence(spark):
+    from tempeh_spark.corpusops import hll_distinct
+
+    n = 5000
+    rows = [("g", f"id-{i}") for i in range(n)] * 2  # duplicates are free
+    df = spark.createDataFrame(rows, "grp string, item string")
+    est = hll_distinct(df, "item", ("grp",)).collect()[0]["hll_distinct"]
+    # m=256 -> standard error 1.04/16 = 6.5%; 3 sigma bound
+    assert abs(est - n) / n < 0.20
+    # register max() is order/partitioning independent: same value at any
+    # parallelism (the determinism contract the oracle twin relies on)
+    est2 = hll_distinct(df.repartition(13), "item", ("grp",)).collect()[0][
+        "hll_distinct"
+    ]
+    assert est2 == est
+
+
+def test_hll_distinct_sketch_merge(spark):
+    # registers are a mergeable sketch: the union of two halves equals the
+    # sketch of the whole (max is associative) -- the property that makes
+    # per-shard sketches combinable without re-reading data at 100 TB.
+    from tempeh_spark.corpusops import hll_distinct
+
+    rows = [("g", f"id-{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    half_a = spark.createDataFrame(rows[:2000], "grp string, item string")
+    half_b = spark.createDataFrame(rows[1000:], "grp string, item string")
+    whole = hll_distinct(df, "item", ("grp",)).collect()[0]["hll_distinct"]
+    merged = hll_distinct(half_a.unionByName(half_b), "item", ("grp",)).collect()[
+        0
+    ]["hll_distinct"]
+    assert merged == whole
