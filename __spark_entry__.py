@@ -2079,6 +2079,81 @@ def _oracle_text_ann() -> str:
     return f"SELECT method, floor::DOUBLE AS floor, ok FROM ({inner}) v"
 
 
+_BM25_QUERIES = [
+    # multi-term, single-term, and a vanished term (df=0 -> no candidate
+    # rows -> contributes nothing, the documented edge)
+    ("q_hash_join", "hash"),
+    ("q_hash_join", "join"),
+    ("q_merge", "merge"),
+    ("q_vec", "vector"),
+    ("q_vec", "scan"),
+    ("q_vec", "zzzmissing"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BM25 top-10 per query (retrieval.bm25_topk): exact
+    rational k1/b folding, log-free integer idf, 1e-6-unit integer score
+    sum — see the retrieval module docstring for why each piece is
+    engine-portable."""
+    from tempeh_spark.retrieval import bm25_topk
+
+    out = bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score_units",
+    )
+
+
+def _oracle_bm25_topk() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[{WS_SQL}]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+totals AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(coalesce(dl, 0))::BIGINT AS total_len
+  FROM documents d LEFT JOIN dls USING (doc_id)
+),
+tf AS (
+  SELECT query_id, term, doc_id, count(*) AS tf
+  FROM toks JOIN q USING (term) GROUP BY query_id, term, doc_id
+),
+dfreq AS (SELECT query_id, term, count(*) AS df_t FROM tf GROUP BY query_id, term),
+scored AS (
+  SELECT query_id, doc_id,
+         floor(((1000000 * (2 * n_docs - 2 * df_t + 1)) // (2 * df_t + 1))
+               * ((22 * tf * total_len)::DOUBLE
+                  / (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)::DOUBLE)
+               + 0.5)::BIGINT AS contrib_units
+  FROM tf
+  JOIN dfreq USING (query_id, term)
+  JOIN dls USING (doc_id)
+  CROSS JOIN totals
+),
+per_doc AS (
+  SELECT query_id, doc_id, sum(contrib_units)::BIGINT AS score_units
+  FROM scored GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score_units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT query_id, rank::INT AS rank, doc_id::BIGINT AS doc_id, score_units
+FROM rk WHERE rank <= 10
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct counts via the deterministic HyperLogLog sketch
     (corpusops.hll_distinct) next to the exact answers it approximates.
@@ -2197,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never / least driver-verified (r5 gap: the whole text_* family,
         #    media_*, nation_revenue) + this round's new gates --
         "hll_distinct": q_hll_distinct,
+        "bm25_topk": q_bm25_topk,
         "text_embedding": q_text_embedding,
         "text_neardup": q_text_neardup,
         "text_kmeans": q_text_kmeans,
@@ -3104,6 +3180,7 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_distinct": _oracle_hll_distinct(),
+        "bm25_topk": _oracle_bm25_topk(),
         "parse_text": _oracle_parse_text(),
         "parse_nodes": _oracle_parse_nodes(),
         "parse_casing_upper": _oracle_parse_casing_upper(),

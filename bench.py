@@ -95,6 +95,8 @@ SUITE = (
     "line_dedup",
     "gopher_quality",
     "decontaminate",
+    "hll_distinct",
+    "bm25_topk",
     "text_embedding",
     "text_kmeans",
     "embedding_neardup",

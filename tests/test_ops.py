@@ -533,3 +533,51 @@ def test_hll_distinct_sketch_merge(spark):
         0
     ]["hll_distinct"]
     assert merged == whole
+
+
+def test_bm25_topk_ranking(spark):
+    from tempeh_spark.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark is a engine"),
+            (3, "duck duck goose"),
+            (4, "nothing relevant here at all in this much longer document text"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [("q1", "spark"), ("q2", "goose"), ("q2", "zzz")], k=3)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    # tf saturation still ranks the term-stuffed doc first
+    assert rows[("q1", 1)]["doc_id"] == 1
+    assert rows[("q1", 2)]["doc_id"] == 2
+    assert ("q1", 3) not in rows  # only 2 docs contain 'spark'
+    # missing term contributes nothing; 'goose' alone drives q2
+    assert rows[("q2", 1)]["doc_id"] == 3
+    assert ("q2", 2) not in rows
+    # order-independence: same scores at any partitioning
+    out2 = bm25_topk(docs.repartition(7), [("q1", "spark")], k=3)
+    assert {(r["doc_id"], r["score_units"]) for r in out2.collect()} == {
+        (r["doc_id"], rows[("q1", r["rank"])]["score_units"])
+        for r in out.where(F.col("query_id") == "q1").collect()
+        for r in [r]
+    }
+
+
+def test_bm25_multi_term_beats_single(spark):
+    from tempeh_spark.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha alpha omega kappa"),
+            (3, "beta beta omega kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [("q", "alpha"), ("q", "beta")], k=3).collect()
+    ranks = {r["rank"]: r["doc_id"] for r in out}
+    # covering both query terms outweighs doubling up on one
+    assert ranks[1] == 1
