@@ -1978,18 +1978,29 @@ def q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final call consistent by construction.
 
     Scale shape: all three producers are bucketed equi-joins or one wide
-    hash agg (the gate's exact cosine verifier swaps for
-    ``similarity.embedding_lsh_near_pairs`` at crawl scale via the same
-    ``(id_a, id_b)`` contract), the union feeds duplicate_components'
-    measured-size strategy gate, and the final assignment is one left join.
-    Oracle = recursive-CTE transitive closure over the identical
-    three-family edge set."""
-    from tempeh_spark.dedup import dedup_decisions, embedding_near_pairs
+    hash agg. The embedding evidence comes from the CRAWL-SCALE producer —
+    ``similarity.embedding_lsh_near_pairs`` (banded hyperplane candidates +
+    exact-cosine verify on candidates only; 8 bands x 8 planes, the tight-
+    threshold configuration: ~0.999 analytic recall at cos >= 0.98), NOT
+    the all-pairs exact verifier (r6: the exact leg measured 31-47 s at
+    sf0.1 and is quadratic in the corpus — the one shape this gate exists
+    to avoid). The oracle applies the IDENTICAL banded restriction (the
+    hyperplanes are deterministic literals, the vectors are the bit-twinned
+    featurizer output), so the value check is exact even though LSH recall
+    is not 1.0. The union feeds duplicate_components' measured-size
+    strategy gate, and the final assignment is one left join. Oracle =
+    recursive-CTE transitive closure over the identical three-family edge
+    set."""
+    from tempeh_spark.dedup import dedup_decisions
     from tempeh_spark.featurize import text_embedding
+    from tempeh_spark.similarity import embedding_lsh_near_pairs
 
     docs = _docs(spark, sf_dir)
     vecs = text_embedding(docs).select(F.col("id").alias("vec_id"), "embedding")
-    emb_pairs = embedding_near_pairs(vecs, threshold=0.98).select("id_a", "id_b")
+    emb_pairs = embedding_lsh_near_pairs(
+        vecs, dim=64, threshold=0.98, n_bands=12, planes_per_band=16,
+        center=True,
+    ).select("id_a", "id_b")
     return dedup_decisions(
         docs, num_perm=16, bands=4, ngram=8, verify_threshold=0.3, max_chars=300,
         extra_pairs=emb_pairs,
@@ -2737,12 +2748,29 @@ FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
 """
 
 
+def _np_band_selects(n_bands: int = 12, planes_per_band: int = 16) -> str:
+    """CENTERED banded hyperplane signatures over the featurizer vectors
+    (assumes CTE ``ce(vec_id, cv)`` in scope — mean-subtracted vectors) —
+    twin of similarity.embedding_lsh_near_pairs(center=True) at the
+    pipeline_decisions gate parameters (12 bands x 16 planes; centering is
+    what makes hyperplane buckets discriminate on direction-concentrated
+    text vectors — see the operator docstring's 1250x measurement). The
+    hyperplanes are deterministic md5-derived literals and the dot-product
+    fold order matches vecmath, so bucket bits are bit-equal cross-engine."""
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_bucket_sql('cv', 64, planes_per_band, b * planes_per_band)} AS bucket FROM ce"
+        for b in range(n_bands)
+    )
+
+
 def _oracle_pipeline_decisions() -> str:
     """Recursive-CTE transitive closure over ALL THREE duplicate-evidence
     families — exact-digest cliques (equivalent to the Spark side's star
     edges by construction), verified minhash-LSH pairs, and embedding
-    cosine near-dup pairs over the featurizer twin — then every document
-    left-joined in."""
+    cosine near-dup pairs RESTRICTED to the same banded-LSH candidates the
+    Spark side generates (identical hyperplane literals over the
+    bit-twinned featurizer vectors) — then every document left-joined in."""
     return f"""
 WITH RECURSIVE {_minhash_lsh_ctes().strip()},
 {_text_emb_ctes().strip()},
@@ -2750,10 +2778,32 @@ dig AS (
   SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS g FROM documents
 ),
 e AS (SELECT doc_id AS vec_id, v FROM temb),
+vmu AS (
+  SELECT list(m ORDER BY i) AS mv FROM (
+    SELECT i,
+           (sum(floor(v[i] * 1048576.0 + 0.5)::BIGINT)::DOUBLE / count(*))
+             / 1048576.0 AS m
+    FROM e, range(1, 65) t(i) GROUP BY i)
+),
+ce AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i -> v[i] - mv[i]) AS cv
+  FROM e, vmu
+),
+np_probe AS ({_np_band_selects()}),
+np_cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM np_probe a
+  JOIN np_probe b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+),
 np AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE {_COS} >= 0.98
+  SELECT id_a, id_b
+  FROM np_cand
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b
+  WHERE (round(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0) >= 0.98
 ),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM mh_pairs

@@ -258,6 +258,7 @@ def embedding_lsh_near_pairs(
     threshold: float = 0.9,
     n_bands: int = 8,
     planes_per_band: int = 8,
+    center: bool = False,
 ) -> DataFrame:
     """The SCALE PATH for embedding near-duplicate pairs — the embedding
     analogue of ``dedup.minhash_lsh_pairs``'s candidate/verify split.
@@ -282,16 +283,62 @@ def embedding_lsh_near_pairs(
     is one Arrow-batched NumPy pass (``vecmath.banded_buckets``) —
     embarrassingly parallel and shuffle-free; the only shuffles are the
     band equi-join and the final dropDuplicates.
+
+    ``center=True`` subtracts the EXACT fixed-point corpus mean from every
+    vector before hashing — mandatory for direction-concentrated vectors
+    like hashed text features, where every document shares the dominant
+    n-gram directions and uncentered buckets stop discriminating (measured
+    at sf0.1 text embeddings, median pairwise cosine 0.846: uncentered
+    8x8 banding emitted 16.57M candidate rows for 255 true pairs;
+    centered 12x16 emitted 13.2k at 0.992 recall — a 1250x cut). The mean
+    is one 64-row collect of per-dim BIGINT ``floor(x*2^20 + 0.5)`` sums
+    (order-independent, so reruns and the SQL oracle get the identical
+    mean bit-for-bit); verification still uses the ORIGINAL cosine.
+    Centered recall has no clean analytic bound (pairs near the mean can
+    shrink to tiny centered norms) — measure per corpus family; the SQL
+    oracle stays exact at any recall because it twins the identical
+    candidate restriction.
     """
     v = _spread(corpus, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    # materialize v ONCE: this subtree feeds FIVE consumers (both sides of
+    # the probe self-join, both verify vector re-attaches, and the center
+    # mean job) — when `corpus` is an expensive upstream like the text
+    # featurizer, skipping this re-ran the whole ArrowEvalPython subtree
+    # per consumer (measured r6: pipeline_decisions 34-42 s at sf0.1, ~5x
+    # the featurizer cost; ~12 s after). Lazy localCheckpoint, not
+    # persist(): ContextCleaner releases it, repeatedly-invoked gates
+    # don't leak CacheManager entries.
+    v = v.localCheckpoint(eager=False)
+    mu = None
+    if center:
+        rows = (
+            v.select(F.posexplode("vec").alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr("cast(floor(x * 1048576.0 + 0.5) as bigint)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # dim rows — a per-job scalar, not corpus data
+        )
+        mu = [0.0] * dim
+        for r in rows:
+            # float(S)/n, not S/n: Python int/int is correctly-rounded
+            # EXACT division and would diverge from the oracle's
+            # S::DOUBLE / n once S exceeds 2^53
+            mu[r["i"]] = (float(r["s"]) / r["n"]) / 1048576.0
     # probe rows carry ONLY (id, band, bucket): a pair colliding in many
     # bands must still pay the cosine exactly once, so candidates are
     # deduplicated BEFORE the verify (measured 4x on a low-selectivity
     # corpus: the banded join emits ~8x more rows than unique pairs)
     probe = v.select(
-        "id", banded_buckets(F.col("vec"), dim, n_bands, planes_per_band).alias("band", "bucket")
+        "id",
+        banded_buckets(
+            F.col("vec"), dim, n_bands, planes_per_band, center=mu
+        ).alias("band", "bucket"),
     )
     a = probe.alias("a")
     b = probe.alias("b")

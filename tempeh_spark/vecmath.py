@@ -85,7 +85,9 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
+def band_buckets_udf(
+    dim: int, n_bands: int, planes_per_band: int, center=None
+):
     """All hyperplane-LSH band buckets in ONE Arrow pass.
 
     Returns a pandas UDF mapping a vector column to an array of ``n_bands``
@@ -94,7 +96,17 @@ def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
     set iff dot(vec, plane_{b*ppb+p}) >= 0) — the batched twin of
     ``similarity.lsh_signature`` over every band at once. One UDF invocation
     replaces ``n_bands * planes_per_band`` interpreted 64-dim folds per row.
-    """
+
+    ``center``: optional length-``dim`` sequence of doubles subtracted from
+    every vector BEFORE the sign test (``sign((x - mu) . p)``). Hashed
+    text-feature vectors concentrate in a narrow cone (every same-language
+    document shares the dominant char-3-gram directions; measured median
+    pairwise cosine 0.846 at sf0.1), which makes uncentered hyperplanes
+    nearly useless as a blocking key; subtracting the corpus mean spreads
+    the angles. The subtraction is one exact IEEE op per element, computed
+    per-dim INSIDE the sequential fold so the oracle's
+    ``list_dot_product(list_transform(.. v[i] - mu[i] ..), plane)``
+    reproduces the bits exactly."""
     if planes_per_band > 31:
         raise ValueError(
             f"planes_per_band={planes_per_band} > 31: band signatures are "
@@ -106,6 +118,7 @@ def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
         [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
     )  # (total, dim)
     weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+    mu = None if center is None else np.asarray(center, dtype=np.float64)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
@@ -114,8 +127,12 @@ def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
         if n == 0:
             return pd.Series([], dtype=object)
         acc = np.zeros((n, total), dtype=np.float64)
-        for i in range(dim):
-            acc += V[:, i : i + 1] * planes[:, i]
+        if mu is None:
+            for i in range(dim):
+                acc += V[:, i : i + 1] * planes[:, i]
+        else:
+            for i in range(dim):
+                acc += (V[:, i : i + 1] - mu[i]) * planes[:, i]
         bits = acc >= 0.0
         out = (bits.reshape(n, n_bands, planes_per_band) * weights).sum(axis=2)
         return pd.Series(list(out.astype(np.int32)))
@@ -123,9 +140,13 @@ def band_buckets_udf(dim: int, n_bands: int, planes_per_band: int):
     return _buckets
 
 
-def banded_buckets(vec: Column, dim: int, n_bands: int, planes_per_band: int):
+def banded_buckets(
+    vec: Column, dim: int, n_bands: int, planes_per_band: int, center=None
+):
     """(band, bucket) pair columns via posexplode of the one-pass UDF."""
-    return F.posexplode(band_buckets_udf(dim, n_bands, planes_per_band)(vec))
+    return F.posexplode(
+        band_buckets_udf(dim, n_bands, planes_per_band, center)(vec)
+    )
 
 
 def masked_cosine_udf(dim: int, n_bands: int, planes_per_band: int):

@@ -581,3 +581,37 @@ def test_bm25_multi_term_beats_single(spark):
     ranks = {r["rank"]: r["doc_id"] for r in out}
     # covering both query terms outweighs doubling up on one
     assert ranks[1] == 1
+
+
+def test_embedding_lsh_centered_concentrated(spark):
+    # the text-embedding regime: every vector shares a dominant direction
+    # (same-language n-gram mass), where uncentered hyperplane buckets stop
+    # discriminating. center=True must still surface the planted near-dup
+    # pair, and the verified output must be partitioning-independent.
+    import numpy as np
+
+    from tempeh_spark.similarity import embedding_lsh_near_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    V = base + 0.05 * rng.normal(size=(200, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V[151] = V[150] + 1e-3 * rng.normal(size=64)  # planted near-dup
+    V[151] /= np.linalg.norm(V[151])
+    med = np.median((V[:50] @ V[50:100].T))
+    assert med > 0.8  # the corpus really is a narrow cone
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_lsh_near_pairs(
+        df, dim=64, threshold=0.98, n_bands=12, planes_per_band=16, center=True
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (150, 151) in pairs
+    out2 = embedding_lsh_near_pairs(
+        df.repartition(9), dim=64, threshold=0.98, n_bands=12,
+        planes_per_band=16, center=True,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in out2.collect()} == pairs
