@@ -2271,6 +2271,78 @@ JOIN lg_est USING (source)
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH, _CMS_K = 3, 64, 30
+
+
+def q_cms_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-token discovery via the deterministic count-min sketch
+    (freqsketch.cms_sketch / cms_estimate): top-30 tokens by estimated
+    frequency, with the exact count alongside so the one-sided error law
+    (est >= exact) is value-checked row by row.
+
+    The gate width (64 counters x 3 rows) is deliberately narrow so
+    collisions OCCUR at gate scale and the twin proves the SKETCH —
+    register sums and min-over-rows — not just exact counting (at sf0.01
+    the top token by estimate overshoots its exact count). Scale shape:
+    the corpus flows through ONE map-side-combined (row, pos) hash agg
+    bounded at depth*width rows per mapper; the probe join is
+    broadcast-sized by construction. Tokenization is the engine-common
+    whitespace class (textops.WS), the same twin bm25_topk uses."""
+    from tempeh_spark.freqsketch import cms_estimate, cms_sketch
+    from tempeh_spark.textops import WS
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), rf"[{WS}]+"), "")
+        ).alias("tok")
+    )
+    sk = cms_sketch(toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_estimate(sk, toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "tok")
+        .orderBy(F.col("est").desc(), "tok")
+        .limit(_CMS_K)
+        .select("tok", "est", "exact_n")
+    )
+
+
+def _oracle_cms_hot_tokens() -> str:
+    # Twin of freqsketch at (depth 3, width 64): position =
+    # 48-bit md5 slice of '<row>:<token>' mod width (('0x'||substr)::BIGINT
+    # is the repo-standard md5->BIGINT idiom), registers are exact BIGINT
+    # count sums, estimate = min over rows with absent registers
+    # coalesced to 0. (est DESC, tok) is a total order, so LIMIT 30 is
+    # deterministic on both engines.
+    d, w, k = _CMS_DEPTH, _CMS_WIDTH, _CMS_K
+    pos = f"(('0x' || substr(md5(t.rn || ':' || tok), 1, 12))::BIGINT % {w})"
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[{WS_SQL}]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+reg AS (
+  SELECT row, pos, count(*)::BIGINT AS total FROM (
+    SELECT t.rn AS row, {pos} AS pos
+    FROM toks, range(0, {d}) t(rn)
+  ) GROUP BY row, pos
+),
+probe AS (
+  SELECT tok, t.rn AS row, {pos} AS pos
+  FROM (SELECT DISTINCT tok FROM toks), range(0, {d}) t(rn)
+),
+est AS (
+  SELECT tok, min(coalesce(total, 0))::BIGINT AS est
+  FROM probe LEFT JOIN reg USING (row, pos) GROUP BY tok
+),
+ex AS (SELECT tok, count(*)::BIGINT AS exact_n FROM toks GROUP BY tok)
+SELECT tok, est, exact_n FROM est JOIN ex USING (tok)
+ORDER BY est DESC, tok LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered least-driver-verified FIRST: the per-round driver gate samples
     # the head of this dict (CORRECTNESS_r04/r05 rows == the first 50 entries,
@@ -2282,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least driver-verified (r5 gap: the whole text_* family,
         #    media_*, nation_revenue) + this round's new gates --
+        "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
         "text_embedding": q_text_embedding,
@@ -3229,6 +3302,7 @@ FROM canon c JOIN keepers k USING (canon_url)
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cms_hot_tokens": _oracle_cms_hot_tokens(),
         "hll_distinct": _oracle_hll_distinct(),
         "bm25_topk": _oracle_bm25_topk(),
         "parse_text": _oracle_parse_text(),
