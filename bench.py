@@ -118,7 +118,10 @@ def _round_tag() -> str:
     in the repo + 1 (the driver writes BENCH_r{N}.json per round)."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return f"r{int(env):02d}"
+        # accept both "6" and "r06" forms; never let a bad tag throw away
+        # a completed measurement run
+        m = re.search(r"(\d+)", env)
+        return f"r{int(m.group(1)):02d}" if m else "r00"
     seen = [
         int(m.group(1))
         for p in glob.glob(str(REPO / "BENCH_r*.json"))
@@ -284,7 +287,12 @@ def main() -> None:
         def run_q(name=name):
             rows_box["n"] = qs[name](spark, SF_DIR).count()
 
-        best, steal, reps, rsteals = _timed_best(run_q)
+        # same steal-aware retry as the headline (smaller budget): on this
+        # host, hypervisor steal arrives in multi-second bursts that hit a
+        # few mid-suite queries (r6: host_graph best rep at 19% steal ran
+        # 7.1 s vs its clean 1.9 s) — two extra reps usually straddle the
+        # burst and recover a clean observation
+        best, steal, reps, rsteals = _timed_best(run_q, max_extra=2, steal_ok=2.0)
         timings[name] = round(best, 3)
         steals[name] = round(steal, 1)
         reps_log[name] = reps
