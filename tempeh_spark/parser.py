@@ -111,10 +111,39 @@ def parse_bytes(data: bytes, options: ParserOptions = DEFAULT_OPTIONS) -> ParseR
     )
 
 
-def parse_string(s: str, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
-    opts = ParserOptions(
+def usv_encode(s: str) -> bytes:
+    """UTF-8 encode with WHATWG ``TextEncoder`` semantics (USVString).
+
+    The reference's parseString feeds the string through ``new
+    TextEncoder().encode(...)`` (HTMLParser.js:132 -> lexer.js:142-144),
+    which replaces each UNPAIRED surrogate with U+FFFD — it never throws.
+    Python's plain ``str.encode("utf-8")`` raises on lone surrogates
+    instead, so: fast path the well-formed common case, and on failure
+    round-trip through UTF-16 (``surrogatepass`` preserves the code
+    units, the ``replace`` decode substitutes exactly the unpaired ones
+    with U+FFFD while real pairs fuse into their astral character —
+    byte-identical to TextEncoder, reference-verified).
+    """
+    try:
+        return s.encode("utf-8")
+    except UnicodeEncodeError:
+        usv = s.encode("utf-16le", "surrogatepass").decode("utf-16le", "replace")
+        return usv.encode("utf-8")
+
+
+def string_options(options: ParserOptions) -> ParserOptions:
+    """Options variant for already-decoded (string) input: no BOM sniff.
+
+    A leading U+FEFF in a string is CONTENT to the reference (it comes out
+    as a text node at 1:1 — reference-verified), because byte-level BOM
+    sniffing happens before the decode that a string never goes through.
+    """
+    return ParserOptions(
         tag_name_casing=options.tag_name_casing,
         ignore_self_closing_syntax=options.ignore_self_closing_syntax,
         sniff_bom=False,
     )
-    return parse_bytes(s.encode("utf-8"), opts)
+
+
+def parse_string(s: str, options: ParserOptions = DEFAULT_OPTIONS) -> ParseResult:
+    return parse_bytes(usv_encode(s), string_options(options))

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from tempeh_spark.options import DEFAULT_OPTIONS, ParserOptions
-from tempeh_spark.parser import parse_bytes
+from tempeh_spark.parser import parse_bytes, string_options, usv_encode
 
 SPAN_SCHEMA = StructType(
     [
@@ -90,7 +90,14 @@ def parse_batch(
     training-data profile. ``with_text=False`` additionally suppresses the
     text/main_text output columns (metrics-only profile: full parse compute,
     counter outputs — used to isolate parse scaling from output-transfer
-    cost in BENCH). The output schema is unchanged (nulls)."""
+    cost in BENCH). The output schema is unchanged (nulls).
+
+    Accepts BINARY or STRING columns: string rows take the parseString
+    contract (TextEncoder-style USV encode, no BOM sniff — see
+    parser.usv_encode/string_options), byte rows the parseFile one. The
+    isinstance test is one branch per document in a kernel that is
+    already per-document Python; it does not change the plan shape."""
+    str_opts = string_options(options)
     rows = []
     for data in html:
         if data is None:
@@ -98,8 +105,12 @@ def parse_batch(
                 (None, None, None, None, None, "null html", None, 0, 0, 0, 0, 0, 0, 0, 0)
             )
             continue
-        b = bytes(data)
-        r = parse_bytes(b, options)
+        if isinstance(data, str):
+            b = usv_encode(data)
+            r = parse_bytes(b, str_opts)
+        else:
+            b = bytes(data)
+            r = parse_bytes(b, options)
         ex = r.extraction
         ok = r.error is None
         rows.append(

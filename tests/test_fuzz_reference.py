@@ -29,6 +29,10 @@ ALPHABET = (
     "abcdiv09AZ_"
     ".:;&#"
     "é👋 ﻿"
+    # lone surrogates: JS strings hold them freely; the reference's
+    # parseString USV-converts them to U+FFFD via TextEncoder
+    # (lexer.js:142-144) and parser.usv_encode must match exactly
+    "\ud800\udc00\udfff"
 )
 
 FRAGMENTS = [

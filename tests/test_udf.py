@@ -147,3 +147,53 @@ def test_doc_pos_pathological_pushback_matches_bisect():
         else:
             want = (nb + 1, i - (doc.breaks[nb - 1] if nb else -1))
         assert got == want, (i, got, want)
+
+
+def test_udf_string_column(spark):
+    """parse_html over a STRING column takes the parseString contract.
+
+    Reference-verified semantics (differential run, 2026-08-17, 6/6
+    identical incl. surrogates in tag/attr names): lone surrogates
+    USV-convert to U+FFFD (TextEncoder, lexer.js:142-144), a leading
+    U+FEFF is CONTENT (no byte-level BOM sniff on a string), astral
+    pairs pass through. Previously this path crashed the Python worker
+    (bytes(str) TypeError) instead of parsing."""
+    from tempeh_spark import parse_html
+
+    probe = spark.createDataFrame(
+        [
+            ("ok", "<p>hello</p>"),
+            ("nul", None),
+            ("lone", "<p>a\ud800b</p>"),
+            ("bom", "﻿<p>x</p>"),
+            ("astral", "<p>a\U00010000b</p>"),
+            ("big", "<div>" + "<p>x</p>" * 50000 + "</div>"),
+        ],
+        "url string, html string",
+    )
+    rows = {
+        r["url"]: r
+        for r in parse_html(probe)
+        .select("url", "parsed.text", "parsed.error", "parsed.n_nodes")
+        .collect()
+    }
+    assert rows["ok"]["text"] == "hello" and rows["ok"]["error"] is None
+    assert rows["nul"]["error"] == "null html"
+    assert rows["lone"]["text"] == "a�b"
+    assert rows["bom"]["text"] == "﻿x"
+    assert rows["astral"]["text"] == "a\U00010000b"
+    assert rows["big"]["n_nodes"] == 100001 and rows["big"]["error"] is None
+
+
+def test_parse_string_usv_semantics():
+    """parse_string never raises on lone surrogates (reference parity)."""
+    from tempeh_spark.parser import parse_string, usv_encode
+
+    r = parse_string("<p>a\ud800b</p>")
+    assert r.error is None and r.extraction.text == "a�b"
+    # USV encode is exactly TextEncoder: unpaired -> U+FFFD, pairs fuse
+    assert usv_encode("\ud800") == b"\xef\xbf\xbd"
+    assert usv_encode("𐀀") == "\U00010000".encode()
+    assert usv_encode("\udc00\ud800x") == b"\xef\xbf\xbd\xef\xbf\xbdx"
+    # leading U+FEFF in a string is content, not a BOM
+    assert parse_string("﻿<p>x</p>").extraction.text == "﻿x"
