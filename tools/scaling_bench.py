@@ -88,7 +88,13 @@ def run_level(cpus: int, rows: int, profile: str) -> None:
     job()
     times = []
     steals = []
-    for _ in range(3):
+    # 3 reps plus up to 2 steal-aware retries (same policy as bench.py's
+    # r6 per-query retry): this host's steal arrives in multi-second
+    # BURSTS, so a rep whose window caught a burst is re-measured while
+    # the current best rep's steal exceeds 2%.
+    while len(times) < 3 or (
+        len(times) < 5 and steals[times.index(min(times))] > 2.0
+    ):
         s0, j0 = read_steal()
         t0 = time.perf_counter()
         job()
