@@ -1107,6 +1107,24 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store dedup gate: readStream file source ->
+    ``dropDuplicates`` on (user_id, event_type) -> append-mode memory sink
+    (availableNow). Emits each newly-seen key exactly once, so the drained
+    result IS the distinct key set — value-twinned with SELECT DISTINCT.
+    The crawl-scale bounded-state variant (dropDuplicatesWithinWatermark)
+    shares the implementation and is pinned by pytest
+    (tests/test_streaming.py)."""
+    from tempeh_spark.streaming import stream_dedup_keys
+
+    out = stream_dedup_keys(
+        spark, f"{sf_dir}/events.parquet", ("user_id", "event_type")
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+
+
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming gate: readStream file source -> watermark ->
     1-hour tumbling-window agg -> memory sink (availableNow drains the
@@ -2354,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least driver-verified (r5 gap: the whole text_* family,
         #    media_*, nation_revenue) + this round's new gates --
+        "streaming_dedup": q_streaming_dedup,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3388,6 +3407,10 @@ FROM events GROUP BY 1, 2
 """,
         # streaming gate: availableNow drains the backlog, so the finished
         # stream equals the batch rollup
+        # append-mode streaming dedup emits each key once -> distinct set
+        "streaming_dedup": (
+            "SELECT DISTINCT user_id::BIGINT AS user_id, event_type FROM events"
+        ),
         "streaming_hourly": f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n,

@@ -108,6 +108,7 @@ SUITE = (
     "media_dims",
     "hourly_events",
     "sessionize",
+    "streaming_dedup",
     "q1_pricing",
     "nation_revenue",
 )

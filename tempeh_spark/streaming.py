@@ -251,3 +251,46 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_keys(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...] | list[str],
+    watermark_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first-arrival key election through the state
+    store, emitted in APPEND mode (each newly-seen key exactly once — no
+    aggregation, no window).
+
+    Two state regimes, chosen by ``watermark_col``:
+
+    * ``None`` (gate/audit config): ``dropDuplicates`` — global dedup,
+      one state-store entry per distinct key, NEVER expired. Exact, but
+      state grows with the distinct-key count; right for bounded key
+      domains or availableNow backfills.
+    * set (the crawl-scale config): ``dropDuplicatesWithinWatermark`` —
+      state is evicted once the event-time watermark passes a key's last
+      sighting, so an unbounded stream runs in bounded memory. A re-crawl
+      arriving BEYOND the horizon re-emits its key (by design: a page
+      re-fetched a month later is a new capture worth re-processing).
+
+    Only the KEY COLUMNS are emitted: which duplicate row arrives first at
+    the state store is a race between partitions, so any payload column
+    would be nondeterministic — the emitted key SET is not. The DuckDB
+    oracle twin is ``SELECT DISTINCT <keys>`` (exact for the unbounded
+    regime; a superset bound for the watermarked one).
+    """
+    import uuid
+
+    schema = spark.read.parquet(path).schema
+    src = _stream_file_source(spark, path, schema)
+    if watermark_col is not None:
+        src = src.withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
+        src = src.withWatermark(watermark_col, watermark)
+        deduped = src.dropDuplicatesWithinWatermark(list(key_cols))
+    else:
+        deduped = src.dropDuplicates(list(key_cols))
+    out = deduped.select(*key_cols)
+    return _drain_to_df(out, "append", f"stream_dedup_{uuid.uuid4().hex[:8]}")

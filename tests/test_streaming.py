@@ -192,3 +192,29 @@ def test_stream_file_source_metachar_filename(spark, tmp_path):
     assert out.count() == 3  # the bug's failure mode is 0 (no match)
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}  # and never the decoy's 9s
     spark.catalog.dropTempView("mc_glob_test")
+
+
+def test_stream_dedup_keys_both_regimes(spark):
+    """Streaming state-store dedup: the drained append-mode output is the
+    distinct key set (exactly once per key) in the unbounded regime; the
+    watermark-bounded regime (dropDuplicatesWithinWatermark — the
+    crawl-scale config with evictable state) emits a SUPERSET that here,
+    with the whole backlog inside one availableNow drain, is the same set."""
+    from tempeh_spark.streaming import stream_dedup_keys
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    expected = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("user_id", "event_type").distinct().collect()
+    }
+
+    exact = stream_dedup_keys(spark, path, ("user_id", "event_type"))
+    got = [(r["user_id"], r["event_type"]) for r in exact.collect()]
+    assert len(got) == len(set(got)), "a key was emitted more than once"
+    assert set(got) == expected
+
+    wm = stream_dedup_keys(
+        spark, path, ("user_id", "event_type"), watermark_col="ts"
+    )
+    got_wm = {(r["user_id"], r["event_type"]) for r in wm.collect()}
+    assert got_wm >= expected and got_wm <= expected  # single drain: equal
