@@ -2183,6 +2183,22 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equi-width length histogram (corpusops.equiwidth_histogram):
+    exact BIGINT bucketing (integer `div`, clamped edge buckets so every
+    row is accounted for), ONE map-side-combined (source, bucket) agg —
+    shuffle bounded at sources x buckets rows at any corpus size."""
+    from tempeh_spark.corpusops import equiwidth_histogram
+
+    docs = _docs(spark, sf_dir)
+    out = equiwidth_histogram(
+        docs, "n_chars", group_cols=("source",), lo=0, hi=600, buckets=12
+    )
+    return out.select(
+        "source", "bucket", "bucket_lo", F.col("n").alias("n_docs")
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct counts via the deterministic HyperLogLog sketch
     (corpusops.hll_distinct) next to the exact answers it approximates.
@@ -2373,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never / least driver-verified (r5 gap: the whole text_* family,
         #    media_*, nation_revenue) + this round's new gates --
         "streaming_dedup": q_streaming_dedup,
+        "length_histogram": q_length_histogram,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3322,6 +3339,17 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_hot_tokens": _oracle_cms_hot_tokens(),
+        # same BIGINT bucket arithmetic; DuckDB // floors vs Spark div
+        # truncates, divergent only on negative numerators, which clamp
+        # to bucket 0 in both engines. width 600/12 = 50.0 exact.
+        "length_histogram": """
+SELECT source, bucket, (0 + bucket * 50.0)::DOUBLE AS bucket_lo,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT source,
+             greatest(0, least(11, ((n_chars - 0) * 12) // 600))::BIGINT AS bucket
+      FROM documents WHERE n_chars IS NOT NULL)
+GROUP BY 1, 2
+""",
         "hll_distinct": _oracle_hll_distinct(),
         "bm25_topk": _oracle_bm25_topk(),
         "parse_text": _oracle_parse_text(),

@@ -455,3 +455,59 @@ def hll_distinct(
         F.element_at(F.array(*[F.lit(x) for x in linc]), zeros).cast("long"),
     ).otherwise(est_raw)
     return per.select(*gcols, corrected.alias("hll_distinct"))
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    lo: int = 0,
+    hi: int = 1000,
+    buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of an integer column — corpus distribution
+    shape with a bounded shuffle (the third sketch leg next to
+    ``hll_distinct`` "how many distinct" and ``freqsketch`` "how often
+    this one": "how is it DISTRIBUTED").
+
+    Bucket index is pure BIGINT arithmetic, ``(v - lo) * buckets DIV
+    (hi - lo)`` clamped into ``[0, buckets-1]`` (under/overflow rows land
+    in the edge buckets rather than disappearing — an audit histogram
+    must account for every row), so the result is exact, order- and
+    partition-independent, and bit-equal in any engine with integer
+    division — no float ever appears.
+
+    Scale shape: ONE ``groupBy(group, bucket).count()`` whose map-side
+    combine bounds every mapper's shuffle output at ``groups * buckets``
+    rows regardless of corpus size; histograms merge by adding counts.
+    ``lo``/``hi`` are caller-fixed literals by design (data-dependent
+    bounds would need an extra full pass; at crawl scale you know the
+    audit range, and the clamp keeps outliers visible at the edges).
+    """
+    if buckets < 1 or hi <= lo:
+        raise ValueError("need buckets >= 1 and hi > lo")
+    v = F.col(value_col).cast("long")
+    gcols = list(group_cols)
+    # BIGINT `div`, not `/` (double division would put an IEEE rounding
+    # step in front of floor). Spark `div` truncates toward zero where
+    # DuckDB `//` floors, but they only disagree on NEGATIVE numerators —
+    # and every negative raw index clamps to bucket 0 either way.
+    num = ((v - F.lit(lo)) * F.lit(buckets)).alias("_num")
+    idx = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(buckets - 1).cast("long"), F.expr(f"_num div {hi - lo}")),
+    )
+    out = (
+        df.where(v.isNotNull())
+        .select(*gcols, num)
+        .select(*gcols, idx.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    width = (hi - lo) / buckets
+    return out.select(
+        *gcols,
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.lit(lo) + F.col("bucket") * F.lit(width)).cast("double").alias("bucket_lo"),
+        F.col("n").cast("long").alias("n"),
+    )

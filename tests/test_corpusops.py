@@ -163,3 +163,38 @@ def test_per_host_cap_mixed_case_urls(spark):
     assert out[1].host == "a.com" and out[1].keep
     assert out[2].host == "a.com" and not out[2].keep
     assert out[3].host == "b.com" and out[3].keep
+
+
+def test_equiwidth_histogram(spark):
+    """Exact integer bucketing: edge clamps (under -> 0, over -> last),
+    exact boundary lands in the upper bucket, nulls skipped, every
+    non-null row accounted for, histograms merge by adding counts."""
+    from tempeh_spark.corpusops import equiwidth_histogram
+
+    rows = [
+        ("a", -5),   # underflow -> bucket 0
+        ("a", 0),    # lo -> bucket 0
+        ("a", 99),   # last value of bucket 0 (width 100)
+        ("a", 100),  # exact boundary -> bucket 1
+        ("a", 999),  # last in-range -> bucket 9
+        ("a", 1000), # hi -> clamps into bucket 9
+        ("a", 10**9),
+        ("b", 250),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, v long")
+    out = equiwidth_histogram(df, "v", group_cols=("source",), lo=0, hi=1000, buckets=10)
+    got = {(r["source"], r["bucket"]): (r["n"], r["bucket_lo"]) for r in out.collect()}
+    assert got[("a", 0)] == (3, 0.0)
+    assert got[("a", 1)] == (1, 100.0)
+    assert got[("a", 9)] == (3, 900.0)
+    assert got[("b", 2)] == (1, 200.0)
+    assert sum(n for n, _ in got.values()) == 8  # null skipped
+    # merge = add counts: histogram(whole) == histogram(part1) + histogram(part2)
+    h1 = equiwidth_histogram(df.where("v < 500"), "v", ("source",), 0, 1000, 10)
+    h2 = equiwidth_histogram(df.where("v >= 500"), "v", ("source",), 0, 1000, 10)
+    merged = {}
+    for r in h1.collect() + h2.collect():
+        k = (r["source"], r["bucket"])
+        merged[k] = merged.get(k, 0) + r["n"]
+    assert merged == {k: n for k, (n, _) in got.items()}
