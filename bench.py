@@ -96,6 +96,7 @@ SUITE = (
     "gopher_quality",
     "decontaminate",
     "hll_distinct",
+    "length_histogram",
     "cms_hot_tokens",
     "bm25_topk",
     "text_embedding",
