@@ -2183,6 +2183,45 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling gate (corpusops.mixture_sample): the
+    rate map folds into literal integer thresholds in ONE codegen
+    projection — zero shuffles, zero joins; exact integer md5-bucket
+    compare, so keep/drop is bit-stable across engines and reruns."""
+    from tempeh_spark.corpusops import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    out = mixture_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_rate=0.1,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        "keep",
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing gate (corpusops.pack_sequences):
+    per-source contiguous streams in doc_id order, bin = start div budget
+    — ONE window exchange partitioned by source (packing parallelizes
+    across shards; no global sort anywhere)."""
+    from tempeh_spark.corpusops import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    out = pack_sequences(docs, budget=2048, cost_col="n_chars")
+    return out.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("cost").cast("long").alias("cost"),
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source equi-width length histogram (corpusops.equiwidth_histogram):
     exact BIGINT bucketing (integer `div`, clamped edge buckets so every
@@ -2390,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    media_*, nation_revenue) + this round's new gates --
         "streaming_dedup": q_streaming_dedup,
         "length_histogram": q_length_histogram,
+        "mixture_sample": q_mixture_sample,
+        "sequence_packing": q_sequence_packing,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3339,6 +3380,27 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_hot_tokens": _oracle_cms_hot_tokens(),
+        # exact integer md5-bucket draw; per-source thresholds are the
+        # same floor(rate * 2^32) literals the Spark plan folds in
+        "mixture_sample": f"""
+SELECT doc_id::BIGINT AS doc_id, source,
+       ('0x' || substr(md5('mix0:' || doc_id::VARCHAR), 1, 8))::BIGINT AS bucket,
+       ('0x' || substr(md5('mix0:' || doc_id::VARCHAR), 1, 8))::BIGINT <
+       (CASE source WHEN 'src0' THEN {2**32} WHEN 'src1' THEN {2**31}
+                    WHEN 'src2' THEN {2**30} WHEN 'src3' THEN 0
+                    ELSE {int(0.1 * 2**32)} END) AS keep
+FROM documents
+""",
+        # per-source window cumsum; start div budget (values >= 0, so
+        # DuckDB // floor == Spark div truncation)
+        "sequence_packing": """
+SELECT source, doc_id::BIGINT AS doc_id,
+       (sum(n_chars) OVER w - n_chars)::BIGINT AS start_offset,
+       ((sum(n_chars) OVER w - n_chars) // 2048)::BIGINT AS bin,
+       n_chars::BIGINT AS cost
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+""",
         # same BIGINT bucket arithmetic; DuckDB // floors vs Spark div
         # truncates, divergent only on negative numerators, which clamp
         # to bucket 0 in both engines. width 600/12 = 50.0 exact.

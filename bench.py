@@ -97,6 +97,8 @@ SUITE = (
     "decontaminate",
     "hll_distinct",
     "length_histogram",
+    "mixture_sample",
+    "sequence_packing",
     "cms_hot_tokens",
     "bm25_topk",
     "text_embedding",

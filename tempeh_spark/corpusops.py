@@ -511,3 +511,93 @@ def equiwidth_histogram(
         (F.lit(lo) + F.col("bucket") * F.lit(width)).cast("double").alias("bucket_lo"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    default_rate: float = 0.0,
+    salt: str = "mix0",
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the Pile/Dolma-style
+    "X% of source A, Y% of source B" corpus-mixing step, as one stateless
+    codegen projection.
+
+    Same integer md5-bucket draw as ``hash_sample`` (engine-portable,
+    rerun-stable, salt-independent of the train/val split draws), but the
+    keep threshold comes from a PER-SOURCE rate map folded into literal
+    integer thresholds in the plan (``floor(rate * 2^32)`` — no float
+    comparison anywhere). Sources absent from ``rates`` fall back to
+    ``default_rate`` (0.0 = drop, 1.0 = pass-through).
+
+    Scale shape: zero shuffles, zero joins — the rate map is a plan
+    literal (a mixture spec is dozens of sources, not data), so this
+    composes into any scan-side filter and costs one md5 per row.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat_ws(":", F.lit(salt), F.col(id_col)), "UTF-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(int(default_rate * 2**32))
+    for src, rate in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == F.lit(src), F.lit(int(rate * 2**32))).otherwise(thr)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias(group_col),
+        bucket.alias("bucket"),
+        (bucket < thr).alias("keep"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    cost_col: str,
+    group_cols: tuple[str, ...] = ("source",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing — assign documents to fixed-budget
+    training bins (the "pack docs into 2048-token sequences" step) with
+    NO global sort.
+
+    Contract: within each group, documents form one contiguous stream in
+    ``order_col`` order; a document's bin is the budget-window its START
+    offset falls in (``start div budget`` — exact BIGINT arithmetic, so
+    the assignment is order-of-evaluation-independent and engine-portable).
+    Documents may straddle a boundary; the trainer's loader splits those,
+    which keeps the assignment a pure function of (group, order, cost)
+    instead of a sequential first-fit loop no engine can parallelize.
+
+    Scale shape: ONE window exchange, partitioned by the group columns —
+    packing parallelizes across groups/shards (at crawl scale: pack per
+    source-shard, never a single global stream, which would serialize the
+    window into one task). ``order_col`` must be unique within a group
+    (the window order must be total for the cumsum to be deterministic).
+    """
+    if budget < 1:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cost = F.col(cost_col).cast("long")
+    start = (F.sum(cost).over(w) - cost).alias("_start")
+    gcols = list(group_cols)
+    return (
+        df.select(*gcols, F.col(order_col), cost.alias("_cost"), start)
+        .select(
+            *gcols,
+            F.col(order_col),
+            F.col("_start").alias("start_offset"),
+            F.expr(f"_start div {int(budget)}").alias("bin"),
+            F.col("_cost").alias("cost"),
+        )
+    )

@@ -198,3 +198,55 @@ def test_equiwidth_histogram(spark):
         k = (r["source"], r["bucket"])
         merged[k] = merged.get(k, 0) + r["n"]
     assert merged == {k: n for k, (n, _) in got.items()}
+
+
+def test_mixture_sample(spark):
+    """Rate map folds to exact integer thresholds: rate 1.0 keeps all,
+    0.0 drops all, unknown sources take the default, the draw matches
+    hash_sample's md5-bucket contract and is rerun-stable."""
+    from tempeh_spark.corpusops import mixture_sample
+
+    rows = [(i, src) for i, src in enumerate(["a"] * 40 + ["b"] * 40 + ["zz"] * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"a": 1.0, "b": 0.0}, default_rate=0.5)
+    got = {(r["source"], r["keep"]) for r in out.collect()}
+    by = {r["doc_id"]: r for r in out.collect()}
+    assert all(by[i]["keep"] for i in range(40))            # rate 1.0
+    assert not any(by[i]["keep"] for i in range(40, 80))    # rate 0.0
+    kept_zz = sum(by[i]["keep"] for i in range(80, 120))    # default 0.5
+    assert 0 < kept_zz < 40
+    # deterministic: same draw on rerun
+    again = {r["doc_id"]: r["keep"] for r in mixture_sample(
+        df, {"a": 1.0, "b": 0.0}, default_rate=0.5).collect()}
+    assert again == {i: by[i]["keep"] for i in by}
+
+
+def test_pack_sequences(spark):
+    """Per-group contiguous stream: start offsets are the exclusive
+    cumsum in order_col order, bin = start div budget, groups pack
+    independently, and a boundary-straddling doc lands in the bin its
+    START falls in."""
+    from tempeh_spark.corpusops import pack_sequences
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 50),   # starts 0, 60  -> bins 0, 0
+        ("a", 3, 10),                 # start 110     -> bin 1 (straddler 2 started at 60)
+        ("b", 1, 250),                # start 0       -> bin 0 (independent group)
+        ("b", 2, 1),                  # start 250     -> bin 2
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, cost long")
+    out = pack_sequences(df, budget=100, cost_col="cost", order_col="doc_id")
+    got = {(r["source"], r["doc_id"]): (r["start_offset"], r["bin"]) for r in out.collect()}
+    assert got[("a", 1)] == (0, 0)
+    assert got[("a", 2)] == (60, 0)
+    assert got[("a", 3)] == (110, 1)
+    assert got[("b", 1)] == (0, 0)
+    assert got[("b", 2)] == (250, 2)
+    # partitioning independence: same assignment from a reshuffled input
+    got2 = {
+        (r["source"], r["doc_id"]): (r["start_offset"], r["bin"])
+        for r in pack_sequences(
+            df.repartition(7), budget=100, cost_col="cost", order_col="doc_id"
+        ).collect()
+    }
+    assert got2 == got
