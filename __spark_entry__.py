@@ -2183,6 +2183,22 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level self-dedup gate (corpusops.duplicate_spans): word
+    8-grams appearing in >=2 distinct documents flag every document
+    carrying them — integer-only per-doc counts, bit-exact twin."""
+    from tempeh_spark.corpusops import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    out = duplicate_spans(docs, ngram=8, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "flagged",
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture sampling gate (corpusops.mixture_sample): the
     rate map folds into literal integer thresholds in ONE codegen
@@ -2431,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "mixture_sample": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
+        "duplicate_spans": q_duplicate_spans,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3380,6 +3397,31 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_hot_tokens": _oracle_cms_hot_tokens(),
+        # same distinct word-8-gram substrate as the decontaminate twin;
+        # integer-only counts so the compare is bit-exact
+        "duplicate_spans": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 7, 0)),
+           i -> array_to_string(ws[i:i+7], ' '))) AS gs
+  FROM w
+),
+cs AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+dup AS (SELECT g FROM (SELECT g, count(*) AS df FROM cs GROUP BY 1) WHERE df >= 2),
+per_doc AS (SELECT doc_id, count(*) AS n_spans FROM cs GROUP BY 1),
+per_dup AS (SELECT doc_id, count(*) AS n_dup FROM cs JOIN dup USING (g) GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_spans,
+       (coalesce(n_dup, 0) > 0) AS flagged
+FROM documents d LEFT JOIN per_doc USING (doc_id) LEFT JOIN per_dup USING (doc_id)
+""",
         # exact integer md5-bucket draw; per-source thresholds are the
         # same floor(rate * 2^32) literals the Spark plan folds in
         "mixture_sample": f"""

@@ -99,6 +99,7 @@ SUITE = (
     "length_histogram",
     "mixture_sample",
     "sequence_packing",
+    "duplicate_spans",
     "cms_hot_tokens",
     "bm25_topk",
     "text_embedding",

@@ -601,3 +601,52 @@ def pack_sequences(
             F.col("_cost").alias("cost"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the span-level SELF-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499): a word n-gram appearing in
+    ``min_docs``+ distinct documents is duplicated TRAINING content even
+    when no whole document is a near-duplicate (boilerplate, licenses,
+    quoted passages). Complements ``decontaminate`` (which compares
+    against an external benchmark set) and ``segment_dedup`` (whose unit
+    is the line, not a sliding window).
+
+    Output one row per doc: (doc_id, n_spans, n_dup_spans, flagged) —
+    integer-only, no float anywhere, so the twin is bit-exact.
+
+    Scale shape (same family as segment_dedup): shingles are exploded
+    codegen rows; the per-(doc, gram) distinct and the gram
+    document-frequency agg are map-side-combinable hash aggs; duplicated
+    grams join back as a semi-join (rare by construction -> AQE
+    broadcasts when small). No join carries document payloads.
+    """
+    sh = word_shingle_rows(df, id_col, text_col, ngram)
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("g")
+    )
+    per_doc = sh.groupBy("id").agg(F.count("*").alias("n_spans"))
+    per_dup = (
+        sh.join(dup, "g", "left_semi").groupBy("id").agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(per_dup.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+            (F.coalesce("n_dup", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

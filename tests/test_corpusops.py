@@ -250,3 +250,27 @@ def test_pack_sequences(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_duplicate_spans(spark):
+    """Span-level self-dedup: shared 3-grams across docs flag both docs;
+    within-doc repetition alone does not (doc frequency counts distinct
+    documents via the per-doc-distinct shingle substrate)."""
+    from tempeh_spark.corpusops import duplicate_spans
+
+    shared = "the quick brown fox"
+    rows = [
+        (1, f"{shared} jumps over things"),       # shares 3-grams with doc 2
+        (2, f"something {shared} appears here"),
+        (3, "entirely unrelated text body here"), # no shared span
+        (4, "tiny"),                              # < ngram words -> 0 spans
+        (5, "rep rep rep rep rep rep"),           # self-repetition only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, ngram=3).collect()}
+    assert out[1]["flagged"] and out[2]["flagged"]
+    assert out[1]["n_dup_spans"] == 2 and out[2]["n_dup_spans"] == 2
+    assert not out[3]["flagged"]
+    assert out[4]["n_spans"] == 0 and not out[4]["flagged"]
+    # 'rep rep rep' appears in only ONE document: not a cross-doc duplicate
+    assert not out[5]["flagged"] and out[5]["n_spans"] == 1
