@@ -622,27 +622,26 @@ def duplicate_spans(
     Output one row per doc: (doc_id, n_spans, n_dup_spans, flagged) —
     integer-only, no float anywhere, so the twin is bit-exact.
 
-    Scale shape (same family as segment_dedup): shingles are exploded
-    codegen rows; the per-(doc, gram) distinct and the gram
-    document-frequency agg are map-side-combinable hash aggs; duplicated
-    grams join back as a semi-join (rare by construction -> AQE
-    broadcasts when small). No join carries document payloads.
+    Scale shape: the shingle subtree (split/explode/slice/distinct) runs
+    ONCE — gram document-frequency is a ``count(*) over (partition by
+    g)`` window on the shingle rows (the r5 dedup lesson: never consume
+    a producer subtree twice when one window can annotate it), then ONE
+    per-doc agg computes both counts. Two exchanges total (by gram, by
+    doc); the only join carries doc ids, never payloads.
     """
     sh = word_shingle_rows(df, id_col, text_col, ngram)
-    dup = (
-        sh.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("g")
-    )
-    per_doc = sh.groupBy("id").agg(F.count("*").alias("n_spans"))
-    per_dup = (
-        sh.join(dup, "g", "left_semi").groupBy("id").agg(F.count("*").alias("n_dup"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    per_doc = (
+        sh.withColumn("df", dfreq)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("n_dup"),
+        )
     )
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .join(per_dup.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
