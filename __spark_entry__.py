@@ -3443,14 +3443,14 @@ SELECT source, doc_id::BIGINT AS doc_id,
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """,
-        # same BIGINT bucket arithmetic; DuckDB // floors vs Spark div
-        # truncates, divergent only on negative numerators, which clamp
-        # to bucket 0 in both engines. width 600/12 = 50.0 exact.
+        # same BIGINT bucket arithmetic incl. the pre-multiply value clamp
+        # (overflow guard); width 600/12 = 50.0 exact
         "length_histogram": """
 SELECT source, bucket, (0 + bucket * 50.0)::DOUBLE AS bucket_lo,
        count(*)::BIGINT AS n_docs
 FROM (SELECT source,
-             greatest(0, least(11, ((n_chars - 0) * 12) // 600))::BIGINT AS bucket
+             greatest(0, least(11,
+               ((least(greatest(n_chars, 0), 600) - 0) * 12) // 600))::BIGINT AS bucket
       FROM documents WHERE n_chars IS NOT NULL)
 GROUP BY 1, 2
 """,

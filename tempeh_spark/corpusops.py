@@ -334,6 +334,24 @@ def repetition_signals(
     )
 
 
+def _md5_bucket(id_col: str, salt: str):
+    """The engine-common sampling draw: first 8 hex digits of
+    md5(salt || ':' || id) as a 32-bit integer. ONE definition on purpose —
+    this expression is a cross-engine contract (the DuckDB twin is
+    ``('0x' || substr(md5(salt || ':' || id), 1, 8))::BIGINT``) shared by
+    ``hash_sample`` and ``mixture_sample``; a drift in one caller would
+    silently diverge from its oracle."""
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat_ws(":", F.lit(salt), F.col(id_col)), "UTF-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,
@@ -346,15 +364,7 @@ def hash_sample(
     comparison — no float rounding to diverge across engines. Engine-
     portable (md5 everywhere), rerun-stable, and independent across salts —
     unlike rand(seed), which no two engines evaluate identically."""
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.encode(F.concat_ws(":", F.lit(salt), F.col(id_col)), "UTF-8")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    bucket = _md5_bucket(id_col, salt)
     threshold = int(rate * 2**32)
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -486,19 +496,28 @@ def equiwidth_histogram(
     """
     if buckets < 1 or hi <= lo:
         raise ValueError("need buckets >= 1 and hi > lo")
-    v = F.col(value_col).cast("long")
+    # clamp the VALUE into [lo, hi] before the multiply: an extreme value
+    # like 2^62 would otherwise overflow (v - lo) * buckets — Spark
+    # (non-ANSI) wraps negative and misfiles the row in bucket 0 while
+    # DuckDB errors. Post-clamp the numerator is bounded by
+    # (hi - lo) * buckets, and in-range values are unchanged.
+    # NB: Spark's greatest/least SKIP nulls (they return the extreme of
+    # the non-null operands), so a NULL value would clamp to ``hi`` —
+    # filter on the RAW column, never on the clamped expression.
+    raw = F.col(value_col).cast("long")
+    v = F.greatest(F.lit(lo).cast("long"), F.least(F.lit(hi).cast("long"), raw))
     gcols = list(group_cols)
     # BIGINT `div`, not `/` (double division would put an IEEE rounding
     # step in front of floor). Spark `div` truncates toward zero where
-    # DuckDB `//` floors, but they only disagree on NEGATIVE numerators —
-    # and every negative raw index clamps to bucket 0 either way.
+    # DuckDB `//` floors, but they only disagree on NEGATIVE numerators,
+    # which the value clamp has already removed.
     num = ((v - F.lit(lo)) * F.lit(buckets)).alias("_num")
     idx = F.greatest(
         F.lit(0).cast("long"),
         F.least(F.lit(buckets - 1).cast("long"), F.expr(f"_num div {hi - lo}")),
     )
     out = (
-        df.where(v.isNotNull())
+        df.where(raw.isNotNull())
         .select(*gcols, num)
         .select(*gcols, idx.alias("bucket"))
         .groupBy(*gcols, "bucket")
@@ -536,15 +555,7 @@ def mixture_sample(
     literal (a mixture spec is dozens of sources, not data), so this
     composes into any scan-side filter and costs one md5 per row.
     """
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.encode(F.concat_ws(":", F.lit(salt), F.col(id_col)), "UTF-8")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    bucket = _md5_bucket(id_col, salt)
     thr = F.lit(int(default_rate * 2**32))
     for src, rate in sorted(rates.items()):
         thr = F.when(F.col(group_col) == F.lit(src), F.lit(int(rate * 2**32))).otherwise(thr)

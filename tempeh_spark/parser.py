@@ -6,8 +6,9 @@ the reference's two entry points:
 
 * ``parse_bytes(data)``  ≙ ``parser.parseFile(path)``  (BOM sniff applies,
   reference HTMLParser.js:111-118 + lexer.js:440-501)
-* ``parse_string(s)``    ≙ ``parser.parseString(s)``  (UTF-8 encode, no BOM
-  sniff, reference HTMLParser.js:132-139 + lexer.js:141-145)
+* ``parse_string(s)``    ≙ ``parser.parseString(s)``  (USV/TextEncoder
+  encode — lone surrogates become U+FFFD, never raises; no BOM sniff; see
+  ``usv_encode``; reference HTMLParser.js:132-139 + lexer.js:141-145)
 """
 
 from __future__ import annotations

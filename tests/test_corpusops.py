@@ -179,6 +179,7 @@ def test_equiwidth_histogram(spark):
         ("a", 999),  # last in-range -> bucket 9
         ("a", 1000), # hi -> clamps into bucket 9
         ("a", 10**9),
+        ("a", 2**62),  # would overflow (v-lo)*buckets without the value clamp
         ("b", 250),
         ("b", None),
     ]
@@ -187,9 +188,9 @@ def test_equiwidth_histogram(spark):
     got = {(r["source"], r["bucket"]): (r["n"], r["bucket_lo"]) for r in out.collect()}
     assert got[("a", 0)] == (3, 0.0)
     assert got[("a", 1)] == (1, 100.0)
-    assert got[("a", 9)] == (3, 900.0)
+    assert got[("a", 9)] == (4, 900.0)  # incl. the 2**62 overflow probe
     assert got[("b", 2)] == (1, 200.0)
-    assert sum(n for n, _ in got.values()) == 8  # null skipped
+    assert sum(n for n, _ in got.values()) == 9  # null skipped
     # merge = add counts: histogram(whole) == histogram(part1) + histogram(part2)
     h1 = equiwidth_histogram(df.where("v < 500"), "v", ("source",), 0, 1000, 10)
     h2 = equiwidth_histogram(df.where("v >= 500"), "v", ("source",), 0, 1000, 10)
@@ -209,7 +210,6 @@ def test_mixture_sample(spark):
     rows = [(i, src) for i, src in enumerate(["a"] * 40 + ["b"] * 40 + ["zz"] * 40)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     out = mixture_sample(df, {"a": 1.0, "b": 0.0}, default_rate=0.5)
-    got = {(r["source"], r["keep"]) for r in out.collect()}
     by = {r["doc_id"]: r for r in out.collect()}
     assert all(by[i]["keep"] for i in range(40))            # rate 1.0
     assert not any(by[i]["keep"] for i in range(40, 80))    # rate 0.0

@@ -217,4 +217,6 @@ def test_stream_dedup_keys_both_regimes(spark):
         spark, path, ("user_id", "event_type"), watermark_col="ts"
     )
     got_wm = {(r["user_id"], r["event_type"]) for r in wm.collect()}
-    assert got_wm >= expected and got_wm <= expected  # single drain: equal
+    # the whole backlog drains in one availableNow batch, so no key's state
+    # expires mid-stream and the superset bound collapses to equality here
+    assert got_wm == expected
