@@ -2183,6 +2183,36 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate (urlops.host_blocklist): label-boundary domain
+    blocklist via suffix-chain explode + equi-join (the million-entry
+    scale path — no LIKE scan). Hosts are synthesized deterministically
+    from doc_id: w = doc_id % 5 picks exact-match, subdomain-match,
+    2-deep subdomain, clean, and the notspam.example boundary trap (a
+    substring/endswith bug would block it; the oracle's LIKE form pins
+    the label-boundary semantics)."""
+    from tempeh_spark.urlops import host_blocklist
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = F.expr("doc_id div 5").cast("long")
+    w = (F.col("doc_id") % 5).cast("int")
+    host = (
+        F.when(w == 0, F.concat(F.lit("sub"), g, F.lit(".spam.example")))
+        .when(w == 1, F.lit("spam.example"))
+        .when(w == 2, F.lit("notspam.example"))
+        .when(w == 3, F.concat(F.lit("ok"), g, F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("deep.sub"), g, F.lit(".ads.net")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id")).alias("url"),
+    )
+    out = host_blocklist(urls, ["spam.example", "ads.net"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "host", "blocked"
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level self-dedup gate (corpusops.duplicate_spans): word
     8-grams appearing in >=2 distinct documents flag every document
@@ -2448,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "duplicate_spans": q_duplicate_spans,
+        "host_blocklist": q_host_blocklist,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3397,6 +3428,27 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_hot_tokens": _oracle_cms_hot_tokens(),
+        # the oracle states label-boundary suffix semantics in its LIKE
+        # form (host = e OR host LIKE '%.'||e); the Spark side computes
+        # the same thing via suffix-explode + equi-join — value equality
+        # between the two FORMS is the gate
+        "host_blocklist": """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'sub' || (doc_id // 5)::VARCHAR || '.spam.example'
+           WHEN 1 THEN 'spam.example'
+           WHEN 2 THEN 'notspam.example'
+           WHEN 3 THEN 'ok' || (doc_id // 5)::VARCHAR || '.example.org'
+           ELSE 'deep.sub' || (doc_id // 5)::VARCHAR || '.ads.net'
+         END AS host
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, host,
+       (host = 'spam.example' OR host LIKE '%.spam.example'
+        OR host = 'ads.net' OR host LIKE '%.ads.net') AS blocked
+FROM h
+""",
         # same distinct word-8-gram substrate as the decontaminate twin;
         # integer-only counts so the compare is bit-exact
         "duplicate_spans": r"""

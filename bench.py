@@ -100,6 +100,7 @@ SUITE = (
     "mixture_sample",
     "sequence_packing",
     "duplicate_spans",
+    "host_blocklist",
     "cms_hot_tokens",
     "bm25_topk",
     "text_embedding",

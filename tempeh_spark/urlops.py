@@ -100,3 +100,65 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> Da
         F.coalesce("keeper", F.col(id_col)).alias("keeper"),
         (F.col(id_col) == F.coalesce("keeper", F.col(id_col))).alias("keep"),
     )
+
+
+def host_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist filtering with label-boundary suffix semantics —
+    the crawl-policy step run before anything else touches a page: a url
+    is blocked iff its canonical host IS a blocklist entry or is a
+    SUBDOMAIN of one (``host == e`` or ``host`` ends with ``'.' + e``).
+    Label boundaries matter: ``notspam.example`` does NOT match a
+    ``spam.example`` entry — naive substring/endswith checks get this
+    wrong.
+
+    Output one row per input doc: (doc_id, host, blocked).
+
+    Scale shape: real blocklists are large (adblock/malware lists run to
+    millions of registrable domains), so the match is an EQUI-JOIN, not a
+    per-entry predicate chain: the host explodes into its <=#labels
+    suffix chain (``a.b.example`` -> ``a.b.example``, ``b.example``,
+    ``example`` — a bounded codegen explode), which joins the blocklist
+    on equality; Spark broadcasts when the list fits, hash-joins when it
+    does not. One explode + one join + one doc-keyed agg; no regex or
+    LIKE scan over entries.
+    """
+    from tempeh_spark.webgraph import url_host
+
+    if not isinstance(blocklist, DataFrame):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(e,) for e in sorted(set(blocklist))], "entry string"
+        )
+    bl = blocklist.select(F.lower(F.col("entry")).alias("entry")).distinct()
+    base = df.select(
+        F.col(id_col).alias("doc_id"), url_host(url_col).alias("host")
+    )
+    parts = F.split(F.col("host"), r"\.")
+    suffixes = base.where(F.col("host") != "").select(
+        "doc_id",
+        "host",
+        F.explode(F.sequence(F.lit(1), F.size(parts))).alias("i"),
+        parts.alias("_p"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("_p"), F.col("i"), F.size(F.col("_p")) - F.col("i") + 1), "."
+        ).alias("sfx"),
+    )
+    hit = (
+        suffixes.join(bl, suffixes.sfx == bl.entry, "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return (
+        base.join(hit, "doc_id", "left")
+        .select(
+            "doc_id", "host", F.coalesce("blocked", F.lit(False)).alias("blocked")
+        )
+    )

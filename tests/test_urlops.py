@@ -89,3 +89,30 @@ def test_canonicalize_is_codegen_only(spark):
     )
     text = df.select(canonicalize_url("url"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_host_blocklist(spark):
+    """Label-boundary suffix semantics: exact entry and subdomains block,
+    a host merely ENDING in an entry's text does not (notspam.example vs
+    spam.example); schemeless urls resolve to '' host and pass; the
+    blocklist is accepted as a list or a DataFrame."""
+    from tempeh_spark.urlops import host_blocklist
+
+    rows = [
+        (1, "http://spam.example/x"),          # exact -> blocked
+        (2, "https://a.b.spam.example/y"),     # 2-deep subdomain -> blocked
+        (3, "http://notspam.example/z"),       # boundary trap -> NOT blocked
+        (4, "http://ok.example.org/w"),        # clean
+        (5, "/relative/path"),                 # no host -> not blocked
+        (6, "HTTP://SPAM.EXAMPLE:80/caps"),    # case/port canonicalized -> blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in host_blocklist(df, ["spam.example"]).collect()}
+    assert out[1]["blocked"] and out[2]["blocked"] and out[6]["blocked"]
+    assert not out[3]["blocked"] and not out[4]["blocked"]
+    assert not out[5]["blocked"] and out[5]["host"] == ""
+    assert out[6]["host"] == "spam.example"
+    # DataFrame-typed blocklist gives the identical decision set
+    bl = spark.createDataFrame([("spam.example",)], "entry string")
+    again = {r["doc_id"]: r["blocked"] for r in host_blocklist(df, bl).collect()}
+    assert again == {i: out[i]["blocked"] for i in out}
