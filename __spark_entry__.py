@@ -2183,6 +2183,62 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission gate (robots.robots_rules + robots_allowed): the
+    full sequential robots.txt parse — comment strip, directive parse,
+    window-based user-agent GROUP assembly (stacked UA lines share
+    rules), empty-pattern drop — then longest-prefix-match decisions
+    with Allow breaking ties, exact-agent group preferred over '*'.
+    Ten host profiles exercise every leg: * groups with nested
+    allow-in-disallow, an exact tempehbot group, a group for a different
+    agent only (unrestricted for us), comments-only and empty-disallow
+    files (no rules). The DuckDB twin re-implements the ENTIRE parse
+    with the same window algebra — value equality between two
+    independent implementations of the sequential format is the gate."""
+    from tempeh_spark.robots import robots_allowed, robots_rules
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = (F.col("doc_id") % 10).cast("int")
+    host = F.concat(F.lit("h"), m.cast("string"), F.lit(".example"))
+    body = (
+        F.when(
+            m <= 3,
+            F.concat(
+                F.lit("# synthetic robots\nUser-agent: *\nDisallow: /private\nAllow: /private/ok"),
+                m.cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .when(
+            (m >= 4) & (m <= 6),
+            F.lit(
+                "User-agent: tempehbot\nUser-agent: buddybot\nDisallow: /\nAllow: /data\n\nUser-agent: *\nDisallow: /tmp\n"
+            ),
+        )
+        .when(m == 7, F.lit("User-agent: other\nDisallow: /\n"))
+        .when(m == 8, F.lit("# comments only\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    )
+    p = (F.col("doc_id") % 7).cast("int")
+    path = (
+        F.when(p == 0, "/private/ok0/x")
+        .when(p == 1, "/private/zz")
+        .when(p == 2, "/data/set")
+        .when(p == 3, "/tmp/file")
+        .when(p == 4, "")  # bare authority -> path defaults to '/'
+        .when(p == 5, "/pub/page")
+        .otherwise("/private")
+    )
+    robots = d.select(host.alias("host"), body.alias("robots_txt")).distinct()
+    urls = d.select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url")
+    )
+    out = robots_allowed(urls, robots_rules(robots), "TempehBot")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "host", "path", "allowed"
+    )
+
+
 def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy gate (urlops.host_blocklist): label-boundary domain
     blocklist via suffix-chain explode + equi-join (the million-entry
@@ -2479,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "duplicate_spans": q_duplicate_spans,
         "host_blocklist": q_host_blocklist,
+        "robots_allowed": q_robots_allowed,
         "cms_hot_tokens": q_cms_hot_tokens,
         "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
@@ -3428,6 +3485,82 @@ FROM canon c JOIN keepers k USING (canon_url)
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_hot_tokens": _oracle_cms_hot_tokens(),
+        # an INDEPENDENT re-implementation of the sequential robots.txt
+        # parse: zipped unnest for (ln, raw), lag/sum windows for group
+        # assembly, integer arg_max for longest-prefix + allow-tiebreak
+        "robots_allowed": r"""
+WITH docs AS (SELECT doc_id, (doc_id % 10)::INT AS m, (doc_id % 7)::INT AS p FROM documents),
+hosts AS (
+  SELECT DISTINCT m, 'h' || m::VARCHAR || '.example' AS host,
+         CASE
+           WHEN m <= 3 THEN '# synthetic robots' || chr(10) || 'User-agent: *' || chr(10) ||
+                'Disallow: /private' || chr(10) || 'Allow: /private/ok' || m::VARCHAR || chr(10)
+           WHEN m BETWEEN 4 AND 6 THEN 'User-agent: tempehbot' || chr(10) || 'User-agent: buddybot' || chr(10) ||
+                'Disallow: /' || chr(10) || 'Allow: /data' || chr(10) || chr(10) ||
+                'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+           WHEN m = 7 THEN 'User-agent: other' || chr(10) || 'Disallow: /' || chr(10)
+           WHEN m = 8 THEN '# comments only' || chr(10)
+           ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+         END AS txt
+  FROM docs
+),
+lines AS (
+  SELECT host, unnest(generate_series(1, len(parts))) AS ln, unnest(parts) AS raw
+  FROM (SELECT host, string_split(txt, chr(10)) AS parts FROM hosts)
+),
+parsed AS (
+  SELECT host, ln,
+         lower(regexp_extract(clean, '^([A-Za-z-]+)[ \t]*:', 1)) AS d,
+         regexp_replace(regexp_extract(clean, '^[A-Za-z-]+[ \t]*:(.*)$', 1),
+                        '^[ \t]+|[ \t]+$', '', 'g') AS v
+  FROM (SELECT host, ln,
+               regexp_replace(regexp_replace(raw, '#.*$', ''), '^[ \t\r]+|[ \t\r]+$', '', 'g') AS clean
+        FROM lines)
+  WHERE lower(regexp_extract(clean, '^([A-Za-z-]+)[ \t]*:', 1)) IN ('user-agent','allow','disallow')
+),
+marked AS (
+  SELECT host, ln, d, v,
+         CASE WHEN d = 'user-agent'
+               AND coalesce(lag(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY host ORDER BY ln), 0) = 0
+              THEN 1 ELSE 0 END AS st
+  FROM parsed
+),
+grouped AS (
+  SELECT host, ln, d, v,
+         sum(st) OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked
+),
+agents AS (SELECT DISTINCT host, gid, lower(v) AS agent FROM grouped WHERE d = 'user-agent'),
+rules AS (
+  SELECT g.host, a.agent, (g.d = 'allow') AS allow, g.v AS pattern, len(g.v) AS plen
+  FROM grouped g JOIN agents a USING (host, gid)
+  WHERE g.d IN ('allow','disallow') AND g.v <> ''
+),
+mine AS (SELECT * FROM rules WHERE agent IN ('tempehbot','*')),
+hx AS (SELECT host, max(CASE WHEN agent = 'tempehbot' THEN 1 ELSE 0 END) AS hx FROM mine GROUP BY 1),
+chosen AS (
+  SELECT m.host, m.allow, m.pattern, m.plen
+  FROM mine m JOIN hx USING (host)
+  WHERE (hx = 1 AND agent = 'tempehbot') OR (hx = 0 AND agent = '*')
+),
+urls AS (
+  SELECT doc_id, 'h' || m::VARCHAR || '.example' AS host,
+         CASE p WHEN 0 THEN '/private/ok0/x' WHEN 1 THEN '/private/zz'
+                WHEN 2 THEN '/data/set' WHEN 3 THEN '/tmp/file'
+                WHEN 4 THEN '/' WHEN 5 THEN '/pub/page' ELSE '/private' END AS path
+  FROM docs
+),
+hits AS (
+  SELECT doc_id, arg_max(allow, plen * 2 + allow::INT) AS verdict
+  FROM urls u JOIN chosen c USING (host)
+  WHERE starts_with(u.path, c.pattern)
+  GROUP BY 1
+)
+SELECT u.doc_id::BIGINT AS doc_id, u.host, u.path,
+       coalesce(verdict, true) AS allowed
+FROM urls u LEFT JOIN hits USING (doc_id)
+""",
         # the oracle states label-boundary suffix semantics in its LIKE
         # form (host = e OR host LIKE '%.'||e); the Spark side computes
         # the same thing via suffix-explode + equi-join — value equality

@@ -101,6 +101,7 @@ SUITE = (
     "sequence_packing",
     "duplicate_spans",
     "host_blocklist",
+    "robots_allowed",
     "cms_hot_tokens",
     "bm25_topk",
     "text_embedding",
