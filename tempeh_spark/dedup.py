@@ -774,18 +774,64 @@ def embedding_near_pairs(
     For 10^12-scale use similarity.ivf_topk-style bucketing first; this
     exact form is the verifier/oracle path.
     """
-    from tempeh_spark.vecmath import cosine
+    from pyspark.sql.types import LongType
 
-    df = _spread(df, id_col, mult=2)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4) + F.lit(0.0)).alias("cosine"),
+    from tempeh_spark.vecmath import cosine, role_pair_kernel
+
+    if not isinstance(df.schema[id_col].dataType, LongType):
+        # non-long ids: keep the theta-join reference form (no gated or
+        # bench path uses one — belt for exotic callers)
+        df = _spread(df, id_col, mult=2)
+        v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        a = v.alias("a")
+        b = v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4) + F.lit(0.0)).alias(
+                    "cosine"
+                ),
+            )
+            .where(F.col("cosine") >= threshold)
         )
-        .where(F.col("cosine") >= threshold)
+    # Blocked all-pairs: the r6 theta-join (BroadcastNestedLoopJoin -> N^2
+    # joined rows, each shipping TWO vectors through Arrow per pair) paid
+    # ~1 KB of Python-boundary traffic per pair — 64 s at 20k vectors.
+    # Instead: split the a-side into B id-hash blocks, replicate the corpus
+    # to every block (shuffle = (B+1) * N vector rows, ~350 MB at 20k x B=32
+    # vs ~200 GB of joined-row traffic), and compute each block's pair grid
+    # in ONE blocked NumPy pass per task (vecmath._pair_block — bit-identical
+    # sequential-over-dim accumulation). The upstream (possibly an expensive
+    # featurizer) is localCheckpointed once instead of recomputed per side.
+    # Still O(N^2) compute BY DESIGN (this is the exact verifier; the scale
+    # path is similarity.embedding_lsh_near_pairs).
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sc = df.sparkSession.sparkContext
+    n_blocks = max(8, sc.defaultParallelism)
+    v = v.localCheckpoint(eager=False)
+    a = v.select(
+        F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.lit(0).alias("role"),
+        "id",
+        "vec",
     )
+    b = v.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1))
+        ).alias("blk"),
+        F.lit(1).alias("role"),
+        "id",
+        "vec",
+    )
+    pairs = (
+        a.unionByName(b)
+        .groupBy("blk")
+        .applyInPandas(role_pair_kernel(threshold), "id_a long, id_b long, cosine double")
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

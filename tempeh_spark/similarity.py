@@ -31,7 +31,6 @@ from pyspark.sql.window import Window
 from tempeh_spark.vecmath import (
     _hyperplane,
     band_buckets_udf,
-    banded_buckets,
     masked_cosine_udf,
 )
 from tempeh_spark.vecmath import cosine as _batch_cosine
@@ -330,39 +329,39 @@ def embedding_lsh_near_pairs(
             # EXACT division and would diverge from the oracle's
             # S::DOUBLE / n once S exceeds 2^53
             mu[r["i"]] = (float(r["s"]) / r["n"]) / 1048576.0
-    # probe rows carry ONLY (id, band, bucket): a pair colliding in many
-    # bands must still pay the cosine exactly once, so candidates are
-    # deduplicated BEFORE the verify (measured 4x on a low-selectivity
-    # corpus: the banded join emits ~8x more rows than unique pairs)
+    # Verify INSIDE each (band, bucket) group instead of materializing the
+    # candidate pair rows: the r6 shape (band equi-join -> dropDuplicates ->
+    # two vector re-attach joins -> per-row Arrow cosine) built the full
+    # candidate set as ROWS — at unselective gate parameters (16 bands x 2
+    # planes, 4 buckets/band) that is ~n_bands * N^2/(2*buckets) joined rows
+    # (~800M at 20k vectors; 237 s and an OOM-prone plan at sf1.0). Here the
+    # only shuffle is n_bands * N probe rows grouped by (band, bucket); each
+    # group's pair grid is one blocked NumPy pass (vecmath.bucket_pair_kernel,
+    # bit-identical sequential-over-dim cosine), pre-filtered at
+    # threshold - 1e-4 so only near-pairs ever become rows. A pair colliding
+    # in k bands is scored k times in-kernel (pure vectorized flops, no rows)
+    # and deduplicated AFTER the exact rounded filter — values identical,
+    # survivor set identical.
+    from tempeh_spark.vecmath import bucket_pair_kernel
+
     probe = v.select(
         "id",
-        banded_buckets(
-            F.col("vec"), dim, n_bands, planes_per_band, center=mu
+        "vec",
+        F.posexplode(
+            band_buckets_udf(dim, n_bands, planes_per_band, center=mu)(F.col("vec"))
         ).alias("band", "bucket"),
     )
-    a = probe.alias("a")
-    b = probe.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = probe.groupBy("band", "bucket").applyInPandas(
+        bucket_pair_kernel(threshold), "id_a long, id_b long, cosine double"
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
-            (F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4) + F.lit(0.0)).alias("cosine"),
+            (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

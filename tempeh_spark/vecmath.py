@@ -149,6 +149,121 @@ def banded_buckets(
     )
 
 
+def _pair_block(
+    Xa: np.ndarray,
+    ia: np.ndarray,
+    Xb: np.ndarray,
+    ib: np.ndarray,
+    cutoff: float,
+) -> pd.DataFrame:
+    """All (id_a < id_b, cosine >= cutoff) pairs between two row blocks.
+
+    Bit-identical per pair to ``_cosine_kernel``: products in the common
+    input dtype, sequential-over-dim f64 accumulation, den =
+    sqrt(dot(a,a)) * sqrt(dot(b,b)) — the dim loop runs over (m, n) outer
+    products instead of per-row columns, which preserves each pair's
+    accumulation order exactly while vectorizing over the pair grid. The
+    cutoff is a CONSERVATIVE pre-filter (callers pass threshold - 1e-4 and
+    re-apply the exact rounded filter in Spark), so NaN pairs drop here
+    (they fail any >= test, same as the final filter) and +inf survives.
+    """
+    sa = np.sqrt(_seq_dot(Xa, Xa))
+    sb = np.sqrt(_seq_dot(Xb, Xb))
+    dt = np.result_type(Xa.dtype, Xb.dtype)
+    dim = Xa.shape[1]
+    # One-time transposes: per-dim row slices AT[i, s:e] are then contiguous
+    # (the untransposed column gather X[:, i] strides a cache line per
+    # element). 2-D tiling keeps each f64 accumulator tile L2/L3-resident
+    # across the 64 sequential dim adds — measured 8.8 s -> 1.1 s per
+    # 625 x 20k group vs the single streamed (blk, n) accumulator.
+    AT = np.ascontiguousarray(Xa.T.astype(dt, copy=False))
+    BT = np.ascontiguousarray(Xb.T.astype(dt, copy=False))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    ma, nb = 512, 1024  # 4 MB f64 acc tile
+    for s in range(0, Xa.shape[0], ma):
+        e = min(s + ma, Xa.shape[0])
+        for u in range(0, Xb.shape[0], nb):
+            v = min(u + nb, Xb.shape[0])
+            acc = np.zeros((e - s, v - u), dtype=np.float64)
+            for i in range(dim):
+                acc += AT[i, s:e][:, None] * BT[i, u:v][None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (sa[s:e, None] * sb[u:v][None, :])
+                mask = (ia[s:e, None] < ib[u:v][None, :]) & (cos >= cutoff)
+            r, c = np.nonzero(mask)
+            if r.size:
+                out_a.append(ia[s:e][r])
+                out_b.append(ib[u:v][c])
+                out_c.append(cos[r, c])
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        }
+    )
+
+
+def bucket_pair_kernel(threshold: float):
+    """applyInPandas kernel: within-group all-pairs cosine, emitting only
+    (id_a < id_b) pairs at cosine >= threshold - 1e-4 (the caller applies
+    the exact ``round(cos, 4) >= threshold`` filter in Spark, so the 1e-4
+    slack can never drop a pair the rounded filter would keep). Input
+    groups carry (id, vec); used per LSH (band, bucket) group — the
+    candidate set of the banded equi-join without ever materializing the
+    candidate pair rows."""
+    cutoff = threshold - 1e-4
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _pair_block(
+                np.zeros((0, 1)), np.zeros(0, np.int64),
+                np.zeros((0, 1)), np.zeros(0, np.int64), cutoff,
+            )
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["vec"].to_numpy())
+        return _pair_block(X, ids, X, ids, cutoff)
+
+    return _k
+
+
+def role_pair_kernel(threshold: float):
+    """applyInPandas kernel for the EXACT all-pairs verifier: each group
+    holds one a-block (role 0) plus the full corpus (role 1); emits the
+    a-block's (id_a < id_b) pairs at cosine >= threshold - 1e-4. A pair
+    (x, y), x < y, is emitted exactly once — in x's block, where the
+    id-order mask keeps it; in y's block the mask kills it."""
+    cutoff = threshold - 1e-4
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return _pair_block(
+                np.zeros((0, 1)), np.zeros(0, np.int64),
+                np.zeros((0, 1)), np.zeros(0, np.int64), cutoff,
+            )
+        return _pair_block(
+            np.stack(a["vec"].to_numpy()),
+            a["id"].to_numpy(),
+            np.stack(b["vec"].to_numpy()),
+            b["id"].to_numpy(),
+            cutoff,
+        )
+
+    return _k
+
+
 def masked_cosine_udf(dim: int, n_bands: int, planes_per_band: int):
     """Fused LSH-candidate-mask + cosine for SMALL broadcast query sets.
 
