@@ -1735,11 +1735,10 @@ def _link_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempeh_spark.links import extract_links
 
     pages = _docs_as_link_pages(_docs(spark, sf_dir))
-    buckets = max(8, 2 * spark.sparkContext.defaultParallelism)
-    spread = pages.repartition(
-        buckets, F.pmod(F.xxhash64("url", F.lit(17)), F.lit(buckets))
-    )
-    return extract_links(spread).join(pages.select("doc_id", "url"), "doc_id")
+    # extract_links spreads narrow inputs itself now (partitioning.py) —
+    # the previous explicit url-hash repartition here would add a second
+    # shuffle of the html payloads for the same balance
+    return extract_links(pages).join(pages.select("doc_id", "url"), "doc_id")
 
 
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2352,10 +2351,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle over data rows is the map-side-combined
     (source, register) agg, bounded at 256 rows per source per mapper."""
     from tempeh_spark.corpusops import hll_distinct
+    from tempeh_spark.partitioning import spread_if_narrow
     from tempeh_spark.textops import normalize_text
 
     docs = _docs(spark, sf_dir)
-    base = docs.select("source", normalize_text("text").alias("t"))
+    # spread BEFORE the ~300x gram explode: the single-footer scan would
+    # otherwise run both shingle legs' explode + partial aggs on one core
+    # (measured 14.6 s at sf1.0; the aggs themselves are bounded)
+    base = spread_if_narrow(docs, "doc_id").select(
+        "source", normalize_text("text").alias("t")
+    )
     grams = (
         base.where(F.length("t") >= 4)
         .select(
@@ -2464,9 +2469,13 @@ def q_cms_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized by construction. Tokenization is the engine-common
     whitespace class (textops.WS), the same twin bm25_topk uses."""
     from tempeh_spark.freqsketch import cms_estimate, cms_sketch
+    from tempeh_spark.partitioning import spread_if_narrow
     from tempeh_spark.textops import WS
 
-    docs = _docs(spark, sf_dir)
+    # spread BEFORE the token explode (three consumers re-derive this
+    # subtree: sketch, estimate probe, exact counts — all were single-core
+    # off the one-partition scan; measured 16.6 s at sf1.0)
+    docs = spread_if_narrow(_docs(spark, sf_dir), "doc_id")
     toks = docs.select(
         F.explode(
             F.array_remove(F.split(F.lower(F.col("text")), rf"[{WS}]+"), "")

@@ -492,6 +492,11 @@ def media_dims(
     channel — the remaining codec-requiring format (jpeg pixels) yields an
     error row, never a job abort."""
 
+    # deliberately NOT spread_if_narrow'd: header decode is a few hundred
+    # bytes of struct per row — measured at sf1.0 the repartition shuffle
+    # of the media bytes costs more than the single-core decode saves
+    # (0.96 s -> 1.17 s)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -326,6 +326,12 @@ def build_pdf_column(
     """documents -> (doc_id, pdf binary): the deterministic synthetic PDF
     corpus (Arrow-batched; the writer is pure Python + zlib)."""
 
+    from tempeh_spark.partitioning import spread_if_narrow
+
+    # single-footer parquet = one partition = the whole PDF build AND the
+    # downstream extract (which inherits this partitioning) on one core
+    df = spread_if_narrow(df, id_col)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             yield pd.DataFrame(
@@ -343,6 +349,10 @@ def extract_pdf_text(
 ) -> DataFrame:
     """(doc_id, text, n_streams, error): per-row error channel, never a job
     abort — same contract as the HTML parse UDF."""
+
+    from tempeh_spark.partitioning import spread_if_narrow
+
+    df = spread_if_narrow(df, id_col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:

@@ -40,7 +40,12 @@ def build_session(
         # just rows, so a batch of 38 KB documents still fits comfortably.
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM hosting the driver AND all executor threads:
+    # 8g was tight for 32 concurrent tasks of join/agg state plus
+    # broadcasts (the r6 driver bench crashed one sf1.0 suite run mid-
+    # flight). 24g on this 128 GiB box leaves the Python workers ~100 GiB;
+    # on a real cluster this setting maps to per-executor heap instead.
+    .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Codegen-heavy mixed workloads (parse UDF stages + wide hash aggs +
         # banded joins) overflow the JVM's default 240 MB code cache; once it
         # fills, JITed whole-stage code gets evicted and later queries run
