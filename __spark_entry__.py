@@ -2369,6 +2369,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.length("t") - 3)).alias("i"),
         )
         .select("source", F.expr("substring(t, i, 4)").alias("g"))
+        # both the sketch leg and the exact leg consume the gram rows:
+        # materialize the explode once (lazy, ContextCleaner-released)
+        .localCheckpoint(eager=False)
     )
     sh_h = hll_distinct(grams, "g", ("source",), p=8, w=20).withColumnRenamed(
         "hll_distinct", "hll_shingles"

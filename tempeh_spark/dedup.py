@@ -186,8 +186,17 @@ def minhash_signatures_wide(
     sh = (
         shingles
         if shingles is not None
-        else shingle_rows(df, id_col, text_col, ngram, max_chars)
+        else shingle_rows(df, id_col, text_col, ngram, max_chars).localCheckpoint(
+            eager=False
+        )
     )
+    # NOTE r7: a "hash once per DISTINCT g" dictionary join was tried here
+    # (md5 is a pure function of g, so the 16 permutation hashes can be
+    # computed over ~13.6k distinct shingles instead of 10.9M occurrence
+    # rows at sf1.0) and measured 2x WORSE end-to-end: the dictionary join
+    # forces a by-g shuffle+sort of the full shingle table where this form
+    # is ONE map-side-combined agg with inline codegen md5 — the extra
+    # exchange costs far more than 175M short-string md5s save.
     aggs = [
         F.min(
             F.md5(F.encode(F.concat(F.lit(f"p{k}:"), F.col("g")), "UTF-8"))
@@ -250,10 +259,18 @@ def minhash_lsh_pairs(
             f"never banded, silently lowering recall"
         )
     rows_per_band = num_perm // bands
+    # FIVE consumers read the shingle table here (hash dictionary,
+    # signature join, per-doc counts, both verify sides): materialize it
+    # once. Lazy localCheckpoint, not persist() — ContextCleaner releases
+    # the blocks when the DataFrame goes out of scope, so repeatedly
+    # invoked gates don't leak CacheManager entries (same pattern as
+    # similarity.embedding_lsh_near_pairs).
     sh = (
         shingles
         if shingles is not None
-        else shingle_rows(df, id_col, text_col, ngram, max_chars)
+        else shingle_rows(df, id_col, text_col, ngram, max_chars).localCheckpoint(
+            eager=False
+        )
     )
     wide = minhash_signatures_wide(
         df, id_col, text_col, num_perm, ngram, max_chars, shingles=sh
@@ -284,20 +301,28 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # three consumers (the two candidate-doc id lists + the
+        # intersection join): checkpoint so the banded self-join runs once
+        .localCheckpoint(eager=False)
     )
 
     # verify: true Jaccard over shingle rows, restricted to candidates.
-    # NOTE a tempting "optimization" measured 2x WORSE here: semi-joining
-    # sh down to candidate doc ids first re-executes the whole banded
-    # candidate subtree a second time (cand feeds both the id list and the
-    # intersection), costing far more than the narrower shuffle saves. At
-    # crawl scale the right shape is to persist/checkpoint `cand` and the
-    # restricted shingles in the JOB layer (dedup_decisions persists the
-    # shingle table); inside this lazy API every subtree must stay
-    # single-use.
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # The r5 note here warned that semi-joining sh down to candidate ids
+    # "re-executes the whole banded candidate subtree" — that was true of
+    # the lazy-subtree form; with `cand` checkpointed above the id lists
+    # are a cheap re-read, and the semi-join (broadcast at bench scale via
+    # AQE: the candidate id list is tiny) cuts both verify sides and the
+    # counts agg from the full corpus-wide shingle table to candidate
+    # docs only.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "id", "left_semi")
+    counts = shc.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = shc.alias("sa")
+    sb = shc.alias("sb")
     inter = (
         cand.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, (F.col("id_b") == F.col("sb.id")) & (F.col("sa.g") == F.col("sb.g")))

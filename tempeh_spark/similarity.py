@@ -351,7 +351,12 @@ def embedding_lsh_near_pairs(
             band_buckets_udf(dim, n_bands, planes_per_band, center=mu)(F.col("vec"))
         ).alias("band", "bucket"),
     )
-    pairs = probe.groupBy("band", "bucket").applyInPandas(
+    # hash-repartition on the group key, then ONE pandas pass per
+    # partition (mapInPandas), not one per group: selective configs (16
+    # planes -> 65k buckets/band) make per-group applyInPandas overhead
+    # dominate (measured pipeline_decisions 31 -> 37 s); the kernel
+    # segments each partition itself
+    pairs = probe.repartition(F.col("band"), F.col("bucket")).mapInPandas(
         bucket_pair_kernel(threshold), "id_a long, id_b long, cosine double"
     )
     return (

@@ -214,25 +214,92 @@ def _pair_block(
     )
 
 
-def bucket_pair_kernel(threshold: float):
-    """applyInPandas kernel: within-group all-pairs cosine, emitting only
-    (id_a < id_b) pairs at cosine >= threshold - 1e-4 (the caller applies
-    the exact ``round(cos, 4) >= threshold`` filter in Spark, so the 1e-4
-    slack can never drop a pair the rounded filter would keep). Input
-    groups carry (id, vec); used per LSH (band, bucket) group — the
-    candidate set of the banded equi-join without ever materializing the
-    candidate pair rows."""
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def bucket_pair_kernel(threshold: float, small_max: int = 64):
+    """mapInPandas kernel: all-pairs cosine WITHIN each (band, bucket)
+    segment of a partition that has been hash-repartitioned on those keys,
+    emitting only (id_a < id_b) pairs at cosine >= threshold - 1e-4 (the
+    caller applies the exact ``round(cos, 4) >= threshold`` filter in
+    Spark, so the 1e-4 slack can never drop a pair the rounded filter
+    would keep). This is the banded equi-join's candidate set evaluated
+    in place — candidate pair ROWS are never materialized.
+
+    One partition = one pandas pass, not one pandas call per group:
+    selective band configs (e.g. 16 planes -> 65k buckets/band) produce
+    hundreds of thousands of 1-5-row groups, where groupBy().applyInPandas
+    pays per-group overhead that measured SLOWER than the join it replaced
+    (pipeline_decisions 31 s -> 37 s at sf1.0). Here segments are found
+    with one lexsort; segments <= ``small_max`` rows enumerate their pairs
+    as (i, i+d) diagonals — at most small_max-1 vectorized passes over ALL
+    small segments at once — and bigger segments fall through to the
+    tiled ``_pair_block``."""
     cutoff = threshold - 1e-4
 
-    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return _pair_block(
-                np.zeros((0, 1)), np.zeros(0, np.int64),
-                np.zeros((0, 1)), np.zeros(0, np.int64), cutoff,
-            )
+    def _k(batches) -> "pd.DataFrame":
+        import itertools
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield _empty_pairs()
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         ids = pdf["id"].to_numpy()
+        band = pdf["band"].to_numpy()
+        bucket = pdf["bucket"].to_numpy()
         X = np.stack(pdf["vec"].to_numpy())
-        return _pair_block(X, ids, X, ids, cutoff)
+        # sort rows by (band, bucket, id): segments become contiguous AND
+        # ascending-id within each, so pair (i, j), i < j has id_i < id_j
+        order = np.lexsort((ids, bucket, band))
+        ids = ids[order]
+        band = band[order]
+        bucket = bucket[order]
+        X = X[order]
+        n = len(ids)
+        brk = np.flatnonzero((band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]))
+        starts = np.concatenate(([0], brk + 1, [n]))
+        sizes = np.diff(starts)
+        out: list[pd.DataFrame] = []
+        # small segments: all at once, one vectorized pass per diagonal d
+        pos = np.arange(n) - np.repeat(starts[:-1], sizes)  # offset in segment
+        seg_sz = np.repeat(sizes, sizes)
+        small = seg_sz <= small_max
+        sa_all = np.sqrt(_seq_dot(X, X))
+        max_small = int(seg_sz[small].max()) if small.any() else 0
+        for d in range(1, max_small):
+            ii = np.flatnonzero(small & (pos + d < seg_sz))
+            if ii.size == 0:
+                continue
+            jj = ii + d
+            num = _seq_dot(X[ii], X[jj])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = num / (sa_all[ii] * sa_all[jj])
+                keep = cos >= cutoff
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii[keep]],
+                            "id_b": ids[jj[keep]],
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+        # big segments: tiled all-pairs each
+        for k in np.flatnonzero(sizes > small_max):
+            s, e = starts[k], starts[k + 1]
+            out.append(_pair_block(X[s:e], ids[s:e], X[s:e], ids[s:e], cutoff))
+        yield pd.concat(
+            itertools.chain(out, [_empty_pairs()]), ignore_index=True
+        ) if out else _empty_pairs()
 
     return _k
 
