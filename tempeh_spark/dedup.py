@@ -289,7 +289,11 @@ def minhash_lsh_pairs(
     banded = wide.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-
+    # NOT checkpointed: both self-join sides duplicate the signature-agg
+    # subtree, but the two executions run CONCURRENTLY on idle cores and a
+    # checkpoint here serializes them — measured 9.6 s (checkpointed) vs
+    # 9.2 s (duplicated) for minhash_lsh at sf1.0; same result for the
+    # simhash banded join below
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -306,39 +310,50 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
 
-    # verify: true Jaccard over shingle rows, restricted to candidates.
-    # The r5 note here warned that semi-joining sh down to candidate ids
-    # "re-executes the whole banded candidate subtree" — that was true of
-    # the lazy-subtree form; with `cand` checkpointed above the id lists
-    # are a cheap re-read, and the semi-join (broadcast at bench scale via
-    # AQE: the candidate id list is tiny) cuts both verify sides and the
-    # counts agg from the full corpus-wide shingle table to candidate
-    # docs only.
+    # verify: true Jaccard, restricted to candidates. The r5 note here
+    # warned that semi-joining sh down to candidate ids "re-executes the
+    # whole banded candidate subtree" — that was true of the lazy-subtree
+    # form; with `cand` checkpointed above the id lists are a cheap
+    # re-read and AQE broadcasts them. The intersection itself is computed
+    # from per-candidate-doc shingle SETS via ``array_intersect`` on the
+    # candidate pair rows — |cand| rows of hash-set work — instead of the
+    # r6 shape (cand x shingles join re-keyed by (id, g)), which shuffled
+    # and sorted the corpus-wide shingle table twice. Shingle rows are
+    # DISTINCT per doc, so size(array_intersect) == the join-count inter
+    # value exactly; collect_list order varies with partitioning but the
+    # intersection SIZE is order-independent. Set sizes are bounded by
+    # the caller's max_chars cap (the giant-doc guard).
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shc = sh.join(cand_ids, "id", "left_semi")
-    counts = shc.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = shc.alias("sa")
-    sb = shc.alias("sb")
-    inter = (
-        cand.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, (F.col("id_b") == F.col("sb.id")) & (F.col("sa.g") == F.col("sb.g")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("g").alias("gs"), F.count("*").alias("n_sh"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    ga = sets.select(
+        F.col("id").alias("id_a"), F.col("gs").alias("gs_a"), F.col("n_sh").alias("n_a")
+    )
+    gb = sets.select(
+        F.col("id").alias("id_b"), F.col("gs").alias("gs_b"), F.col("n_sh").alias("n_b")
+    )
     return (
-        inter.join(ca, F.col("id_a") == F.col("ca.id"))
-        .join(cb, F.col("id_b") == F.col("cb.id"))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("inter"),
+            "n_a",
+            "n_b",
+        )
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("inter") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("inter")), 4
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= verify_threshold)
@@ -481,6 +496,9 @@ def simhash_near_pairs(
     banded = sh.select(
         "id", "simhash", F.explode(F.array(*probes)).alias("bk")
     ).select("id", "simhash", "bk.band", "bk.key")
+    # NOT checkpointed (unlike minhash_lsh_pairs): the duplicated vote-agg
+    # subtree is small enough that both sides build it concurrently on
+    # idle cores — measured 5.1 -> 6.0 s at sf1.0 WITH a checkpoint here
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long"))
