@@ -155,6 +155,10 @@ def _pair_block(
     Xb: np.ndarray,
     ib: np.ndarray,
     cutoff: float,
+    sig_a: np.ndarray | None = None,
+    sig_b: np.ndarray | None = None,
+    n_bands: int = 0,
+    planes_per_band: int = 0,
 ) -> pd.DataFrame:
     """All (id_a < id_b, cosine >= cutoff) pairs between two row blocks.
 
@@ -166,6 +170,12 @@ def _pair_block(
     cutoff is a CONSERVATIVE pre-filter (callers pass threshold - 1e-4 and
     re-apply the exact rounded filter in Spark), so NaN pairs drop here
     (they fail any >= test, same as the final filter) and +inf survives.
+
+    ``sig_a``/``sig_b``: optional packed int64 LSH band signatures
+    (``n_bands`` bands x ``planes_per_band`` bits, band b at bit offset
+    b*planes_per_band). When given, a pair is additionally required to
+    share at least one full band (XOR chunk == 0) — exactly the candidate
+    set of the banded (band, bucket) equi-join.
     """
     sa = np.sqrt(_seq_dot(Xa, Xa))
     sb = np.sqrt(_seq_dot(Xb, Xb))
@@ -181,6 +191,7 @@ def _pair_block(
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
+    band_mask = np.int64((1 << planes_per_band) - 1) if planes_per_band else None
     ma, nb = 512, 1024  # 4 MB f64 acc tile
     for s in range(0, Xa.shape[0], ma):
         e = min(s + ma, Xa.shape[0])
@@ -192,6 +203,12 @@ def _pair_block(
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = acc / (sa[s:e, None] * sb[u:v][None, :])
                 mask = (ia[s:e, None] < ib[u:v][None, :]) & (cos >= cutoff)
+            if sig_a is not None and mask.any():
+                x = sig_a[s:e, None] ^ sig_b[None, u:v]
+                collide = np.zeros(x.shape, dtype=bool)
+                for b in range(n_bands):
+                    collide |= ((x >> (b * planes_per_band)) & band_mask) == 0
+                mask &= collide
             r, c = np.nonzero(mask)
             if r.size:
                 out_a.append(ia[s:e][r])
@@ -326,6 +343,64 @@ def role_pair_kernel(threshold: float):
             np.stack(b["vec"].to_numpy()),
             b["id"].to_numpy(),
             cutoff,
+        )
+
+    return _k
+
+
+def masked_role_pair_kernel(
+    threshold: float,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    center=None,
+):
+    """applyInPandas kernel for the DENSE banded-LSH regime
+    (n_bands * planes_per_band <= 63): each group holds one a-block
+    (role 0) plus the full corpus (role 1); emits (id_a < id_b) pairs that
+    BOTH share at least one hyperplane band AND clear cosine >=
+    threshold - 1e-4. Signatures are computed in-kernel with the exact
+    ``band_buckets_udf`` arithmetic (same sequential plane-dot fold, same
+    >= 0 sign test, optional centering) and packed into one int64, so the
+    collision mask reproduces the (band, bucket) equi-join's candidate
+    set bit-for-bit — but every pair is scored ONCE, instead of once per
+    colliding band in per-bucket groups."""
+    if n_bands * planes_per_band > 63:
+        raise ValueError("packed signatures need n_bands * planes_per_band <= 63")
+    cutoff = threshold - 1e-4
+    total = n_bands * planes_per_band
+    planes = np.array([_hyperplane(dim, p) for p in range(total)], dtype=np.float64)
+    weights = (np.int64(1) << np.arange(total, dtype=np.int64))
+    mu = None if center is None else np.asarray(center, dtype=np.float64)
+
+    def _packed_sigs(X: np.ndarray) -> np.ndarray:
+        V = X.astype(np.float64, copy=False)
+        acc = np.zeros((V.shape[0], total), dtype=np.float64)
+        if mu is None:
+            for i in range(dim):
+                acc += V[:, i : i + 1] * planes[:, i]
+        else:
+            for i in range(dim):
+                acc += (V[:, i : i + 1] - mu[i]) * planes[:, i]
+        return ((acc >= 0.0) * weights).sum(axis=1).astype(np.int64)
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return _empty_pairs()
+        Xa = np.stack(a["vec"].to_numpy())
+        Xb = np.stack(b["vec"].to_numpy())
+        return _pair_block(
+            Xa,
+            a["id"].to_numpy(),
+            Xb,
+            b["id"].to_numpy(),
+            cutoff,
+            sig_a=_packed_sigs(Xa),
+            sig_b=_packed_sigs(Xb),
+            n_bands=n_bands,
+            planes_per_band=planes_per_band,
         )
 
     return _k
