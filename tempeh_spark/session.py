@@ -54,6 +54,19 @@ def build_session(
         # spark.executor.extraJavaOptions on a real cluster.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # The generated-CLASS cache (Janino output, static conf) defaults to
+        # 100 entries — smaller than one pass over this engine's query
+        # shapes, so a multi-query session evicts and re-compiles
+        # continuously and every re-load re-enters the C2 JIT queue. The
+        # r7 variance study (BENCH/variance_study_r07.json) measured
+        # pipeline_decisions paying 9-16 s of JIT compilation EVERY rep at
+        # the default (wall never converging, the r5/r6 "clean-steal slow
+        # mode"), vs monotonically falling to 1.5 s JIT / settled wall with
+        # this cache sized above the session's distinct codegen-unit count.
+        # Shape-count-dependent, not scale- or local-mode-dependent; the
+        # same setting belongs on any long-lived session running this
+        # engine's full operator surface.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
