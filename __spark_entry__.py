@@ -2539,72 +2539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they remain covered by the full-gate local rehearsal
     # (tools/check_oracles.py) and the pytest suite every session.
     return {
-        # -- never / least driver-verified (r5 gap: the whole text_* family,
-        #    media_*, nation_revenue) + this round's new gates --
-        "streaming_dedup": q_streaming_dedup,
-        "length_histogram": q_length_histogram,
-        "mixture_sample": q_mixture_sample,
-        "sequence_packing": q_sequence_packing,
-        "duplicate_spans": q_duplicate_spans,
-        "host_blocklist": q_host_blocklist,
-        "robots_allowed": q_robots_allowed,
-        "cms_hot_tokens": q_cms_hot_tokens,
-        "hll_distinct": q_hll_distinct,
-        "bm25_topk": q_bm25_topk,
-        "text_embedding": q_text_embedding,
-        "text_neardup": q_text_neardup,
-        "text_kmeans": q_text_kmeans,
-        "text_dedup": q_text_dedup,
-        "pipeline_decisions": q_pipeline_decisions,
-        "text_ann": q_text_ann,
-        "media_meta": q_media_meta,
-        "media_features": q_media_features,
-        "media_dims": q_media_dims,
-        "nation_revenue": q_nation_revenue,
-        "anchor_pairs": q_anchor_pairs,
-        "training_pipeline": q_training_pipeline,
-        "host_graph": q_host_graph,
-        "host_anchors": q_host_anchors,
-        "pagerank": q_pagerank,
-        "kmeans_update": q_kmeans_update,
-        # -- 3-4 rounds verified --
-        "dedup_decisions": q_dedup_decisions,
-        "line_dedup": q_line_dedup,
-        "gopher_quality": q_gopher_quality,
-        "host_cap": q_host_cap,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "repetition_signals": q_repetition_signals,
-        "hash_sample": q_hash_sample,
-        "url_dedup": q_url_dedup,
-        "warc_roundtrip": q_warc_roundtrip,
-        "extract_links": q_extract_links,
-        "corpus_stats": q_corpus_stats,
-        "ann_recall_floor": q_ann_recall_floor,
-        "kmeans_assign": q_kmeans_assign,
-        "streaming_sink": q_streaming_sink,
-        "pdf_extract": q_pdf_extract,
-        "dup_components": q_dup_components,
-        "simhash60_pairs": q_simhash60_pairs,
-        "ivf_probe_topk": q_ivf_probe_topk,
-        "embedding_lsh_neardup": q_embedding_lsh_neardup,
-        "ann_recall": q_ann_recall,
-        "streaming_hourly": q_streaming_hourly,
-        # -- 5 rounds green, kept in the sampled set (flagship parse path) --
-        "parse_text": q_parse_text,
-        "parse_nodes": q_parse_nodes,
-        "parse_main_text": q_parse_main_text,
-        "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "lsh_topk": q_lsh_topk,
-        "text_analysis": q_text_analysis,
-        "bottomk_sketch": q_bottomk_sketch,
-        "embedding_neardup": q_embedding_neardup,
-        "brute_topk": q_brute_topk,
-        "ivf_topk": q_ivf_topk,
-        # -- 5 rounds green, lowest marginal signal: likely past the driver's
-        #    sample horizon; still run locally every session --
+        # -- r7 rotation (VERDICT r6 #4): the 20 gates whose newest driver
+        #    row is r05 sort into the sampled head, so the union of
+        #    r06+r07 driver rows covers all 70 gates none older than two
+        #    rounds --
         "parse_casing_upper": q_parse_casing_upper,
         "corpus_rollup": q_corpus_rollup,
         "roundtrip": q_roundtrip,
@@ -2615,6 +2553,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
         "q1_pricing": q_q1_pricing,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "text_analysis": q_text_analysis,
+        "bottomk_sketch": q_bottomk_sketch,
+        "embedding_neardup": q_embedding_neardup,
+        "brute_topk": q_brute_topk,
+        "ivf_topk": q_ivf_topk,
+        "parse_main_text": q_parse_main_text,
+        # -- queries whose operators this optimization round touched:
+        #    inside the sample window so the driver re-verifies them --
+        "pipeline_decisions": q_pipeline_decisions,
+        "dedup_decisions": q_dedup_decisions,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "cms_hot_tokens": q_cms_hot_tokens,
+        "hll_distinct": q_hll_distinct,
+        "pdf_extract": q_pdf_extract,
+        "extract_links": q_extract_links,
+        "bm25_topk": q_bm25_topk,
+        "anchor_pairs": q_anchor_pairs,
+        "pagerank": q_pagerank,
+        "host_anchors": q_host_anchors,
+        "host_graph": q_host_graph,
+        "text_embedding": q_text_embedding,
+        "training_pipeline": q_training_pipeline,
+        # -- flagship parse gates + r6-new gates with a single driver row --
+        "parse_text": q_parse_text,
+        "parse_nodes": q_parse_nodes,
+        "streaming_dedup": q_streaming_dedup,
+        "length_histogram": q_length_histogram,
+        "mixture_sample": q_mixture_sample,
+        "sequence_packing": q_sequence_packing,
+        "duplicate_spans": q_duplicate_spans,
+        "host_blocklist": q_host_blocklist,
+        "robots_allowed": q_robots_allowed,
+        "text_neardup": q_text_neardup,
+        "text_kmeans": q_text_kmeans,
+        "text_dedup": q_text_dedup,
+        "text_ann": q_text_ann,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "media_dims": q_media_dims,
+        # -- multi-round green, untouched this round: likely past the
+        #    driver's sample horizon; still run locally every session --
+        "line_dedup": q_line_dedup,
+        "gopher_quality": q_gopher_quality,
+        "host_cap": q_host_cap,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_signals": q_repetition_signals,
+        "hash_sample": q_hash_sample,
+        "url_dedup": q_url_dedup,
+        "warc_roundtrip": q_warc_roundtrip,
+        "corpus_stats": q_corpus_stats,
+        "ann_recall_floor": q_ann_recall_floor,
+        "kmeans_assign": q_kmeans_assign,
+        "streaming_sink": q_streaming_sink,
+        "dup_components": q_dup_components,
+        "simhash60_pairs": q_simhash60_pairs,
+        "ivf_probe_topk": q_ivf_probe_topk,
+        "ann_recall": q_ann_recall,
+        "streaming_hourly": q_streaming_hourly,
+        "nation_revenue": q_nation_revenue,
+        "kmeans_update": q_kmeans_update,
     }
 
 
